@@ -1,0 +1,110 @@
+"""Codec tests: `.ref`/`.ann`/`.bwt` byte parity vs the oracle, FASTQ parsing,
+`.aln` roundtrip."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.formats.aln import encode_alns, read_aln_file, write_aln_file
+from bwbble_tpu.formats.fasta import fasta2ref, read_ann, read_ref
+from bwbble_tpu.formats.fastq import parse_fastq_bytes, parse_read_mapping
+from bwbble_tpu.gold.engine import Aln
+from bwbble_tpu.index import FMIndex
+from bwbble_tpu.index.fmindex import pack_words, unpack_words
+
+
+def test_ref_ann_bwt_byte_parity(oracle, small_world, tmp_path):
+    fa = small_world["fasta"]
+    subprocess.run([oracle, "index", fa], check=True, capture_output=True,
+                   cwd=str(tmp_path))
+    codes, ann = small_world["codes"], small_world["ann"]
+    with open(fa + ".ref", "rb") as f:
+        assert f.read() == codes.tobytes()
+    mine_ann = open(str(small_world["dir"] / "g.fa.ann")).read()
+    assert open(fa + ".ann").read() == mine_ann
+    idx = small_world["idx"]
+    mybwt = str(tmp_path / "mine.bwt")
+    idx.store(mybwt)
+    assert open(fa + ".bwt", "rb").read() == open(mybwt, "rb").read()
+
+
+def test_bwt_roundtrip(small_world, tmp_path):
+    idx = small_world["idx"]
+    p = str(tmp_path / "x.bwt")
+    idx.store(p)
+    idx2 = FMIndex.load(p)
+    assert idx2.length == idx.length and idx2.sa0 == idx.sa0
+    assert np.array_equal(idx2.bwt, idx.bwt)
+    assert np.array_equal(idx2.Carr, idx.Carr)
+    assert np.array_equal(idx2.occ, idx.occ)
+    assert np.array_equal(idx2.sa, idx.sa)
+
+
+def test_pack_words_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in [1, 7, 8, 9, 1000]:
+        codes = rng.integers(0, 16, size=n).astype(np.uint8)
+        assert np.array_equal(unpack_words(pack_words(codes), n), codes)
+
+
+def test_ann_reader(small_world):
+    ann2 = read_ann(str(small_world["dir"] / "g.fa.ann"))
+    ann = small_world["ann"]
+    assert ann2.fwd_len == ann.fwd_len
+    assert [(a.name, a.start, a.end) for a in ann2.anns] == \
+           [(a.name, a.start, a.end) for a in ann.anns]
+
+
+def test_fastq_parse():
+    data = b"@r1 x\nACGTN\n+\nIIIII\n@r2\nttgg\n+junk\nJJJJ\n"
+    reads = parse_fastq_bytes(data)
+    assert reads.count == 2
+    assert reads.names == ["r1 x", "r2"]
+    assert list(reads.seq[0][:5]) == [0, 2, 1, 3, 4]
+    # rc of ACGTN -> N A C G T -> nt4 [4,0,2,1,3]
+    assert list(reads.rc[0][:5]) == [4, 0, 2, 1, 3]
+    assert list(reads.seq[1][:4]) == [3, 3, 1, 1]
+    assert reads.lengths.tolist() == [5, 4]
+    # padding is N
+    assert reads.seq[1][4] == C.NT4_N
+
+
+def test_fastq_qual_mismatch():
+    with pytest.raises(ValueError):
+        parse_fastq_bytes(b"@r\nACGT\n+\nII\n")
+
+
+def test_read_too_long():
+    long = b"A" * 300
+    with pytest.raises(ValueError):
+        parse_fastq_bytes(b"@r\n" + long + b"\n+\n" + b"I" * 300 + b"\n")
+
+
+def test_parse_read_mapping():
+    t = parse_read_mapping("21_100_199_nm_100_0/1")
+    assert t["ref_pos_l"] == 100 and t["ref_pos_r"] == 199
+    assert t["strand"] == 0 and t["mref_pos"][0] == 100
+    t = parse_read_mapping("chr_5_10_c_5_7_0/1")
+    assert t["strand"] == 1 and t["mref_pos"] == [5, 7, 0]
+
+
+def test_aln_roundtrip(tmp_path):
+    alns = [
+        [Aln(score=3, L=10, U=12, num_mm=1, num_gapo=0, num_gape=0,
+             num_snps=0, aln_length=5, path=bytes([0, 0, 1, 2, 0]))],
+        [],
+        [Aln(score=0, L=7, U=7, num_mm=0, num_gapo=0, num_gape=0,
+             num_snps=0, aln_length=3, path=bytes(3))],
+    ]
+    p = str(tmp_path / "t.aln")
+    write_aln_file(p, alns)
+    back = read_aln_file(p)
+    assert len(back) == 3
+    a = back[0][0]
+    assert (a.score, a.L, a.U, a.num_mm, a.aln_length) == (3, 10, 12, 1, 5)
+    # reader returns the disk-order (reversed) path
+    assert a.path == bytes([0, 2, 1, 0, 0])
+    assert back[1] == []
+    assert back[2][0].path == bytes(3)
