@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class AlnParams:
     # scoring (align.c:23-25)
     mm_score: int = 3          # -M

@@ -1,0 +1,525 @@
+"""Lockstep inexact search engine (the reference's core algorithm on TPU).
+
+Redesign of the score-bucketed best-first DFS (inexact_match,
+inexact_match.c:256-506) for SIMD execution over a read batch:
+
+- The per-read heap becomes an **append-only arena** of search nodes in HBM
+  ([B, CAP] struct-of-arrays).  Popping "last entry of the lowest-score
+  bucket" (heap_pop, inexact_match.c:594-610) is exactly an argmin over open
+  nodes of key = score * (CAP+1) + (CAP-1 - push_index): minimal score, then
+  most recent push.  This reproduces the reference's exploration order
+  without maintaining buckets.
+- Alignment paths are never copied on push (the reference memcpy's up to
+  256 bytes per push, inexact_match.c:578-583); each node stores its parent
+  index and state, and paths are reconstructed host-side by walking parent
+  chains of reported alignments only.
+- Each global step, every active lane either (a) pops + prunes + expands one
+  node — two 16-char rank queries and one batched 31-candidate push — or
+  (b) advances its in-flight exact-completion scan (the
+  exact_match_bounded call of inexact_match.c:345-375) by one character.
+  Lanes run until all drain; capacity overflow (arena/alignments/intervals)
+  flags the lane for host-gold fallback, so results remain byte-exact at any
+  capacity setting.
+
+Indices are int32 (single-shard genomes < 2^31 positions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.align.params import AlnParams
+from bwbble_tpu.engine.device_index import DeviceIndex
+from bwbble_tpu.engine.intervals import expand_step
+from bwbble_tpu.engine.rank import rank1, rank_actg_dfs, rank_all_dfs
+
+MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
+
+_MATCH = np.asarray(C.MATCH_MATRIX, dtype=np.int32)       # [5, 16]
+_IS_SNP = np.asarray(C.IS_SNP, dtype=np.int32)
+_GRAY4 = np.asarray(C.NT4_GRAY, dtype=np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    cap: int = 2048          # arena nodes per lane
+    acap: int = 64           # reported alignments per lane
+    kx: int = 16             # exact-completion interval slots per lane
+    max_iters: int = 200_000  # lockstep safety bound
+
+
+def _int(p, name):
+    return int(getattr(p, name))
+
+
+@partial(jax.jit, static_argnames=("params", "cfg", "trace"))
+def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
+                   D: jax.Array, D_seed: jax.Array,
+                   params: AlnParams, cfg: EngineConfig,
+                   seed_L: jax.Array | None = None,
+                   seed_U: jax.Array | None = None,
+                   seed_cnt: jax.Array | None = None,
+                   trace: int = 0):
+    """Run the batched search.
+
+    Args:
+      rc:        int32 [B, Lmax] nt4 reverse-complement reads (the search
+                 operates on the RC, inexact_match.c:59-65).
+      lengths:   int32 [B].
+      D, D_seed: int32 [B, *, 2] lower bounds from engine.dbound.
+      seed_*:    optional precalc SA intervals per lane ([B, S] plus count);
+                 when given, lanes start from those entries with a 12-long
+                 all-match path (inexact_match.c:269-282).
+    Returns a dict of result arrays (see the `out` construction below).
+    """
+    B, Lmax = rc.shape
+    CAP, ACAP, KX = cfg.cap, cfg.acap, cfg.kx
+    rc = rc.astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    p_mm = _int(params, "mm_score")
+    p_go = _int(params, "gapo_score")
+    p_ge = _int(params, "gape_score")
+    p_maxdiff = _int(params, "max_diff")
+    p_maxgapo = _int(params, "max_gapo")
+    p_maxgape = _int(params, "max_gape")
+    p_seedlen = _int(params, "seed_length")
+    p_maxdiffseed = _int(params, "max_diff_seed")
+    p_maxbest = _int(params, "max_best")
+    p_noindel = _int(params, "no_indel_length")
+    p_maxentries = _int(params, "max_entries")
+    multiref = bool(params.is_multiref)
+    NJ = 16 if multiref else 5      # rank vector width
+    worst = ((p_maxdiff + 1) * p_mm + (p_maxgapo + 1) * p_go
+             + (p_maxgape + 1) * p_ge)
+
+    def score_of(mm, go, ge):
+        return mm * p_mm + go * p_go + ge * p_ge
+
+    # ---------------------------------------------------------- initial state
+    zi = jnp.zeros((B,), jnp.int32)
+    zb = jnp.zeros((B,), bool)
+
+    arena = dict(
+        L=jnp.zeros((B, CAP), jnp.int32),
+        U=jnp.zeros((B, CAP), jnp.int32),
+        i=jnp.zeros((B, CAP), jnp.int32),
+        mm=jnp.zeros((B, CAP), jnp.int32),
+        go=jnp.zeros((B, CAP), jnp.int32),
+        ge=jnp.zeros((B, CAP), jnp.int32),
+        st=jnp.zeros((B, CAP), jnp.int32),
+        snp=jnp.zeros((B, CAP), jnp.int32),
+        score=jnp.zeros((B, CAP), jnp.int32),
+        parent=jnp.full((B, CAP), -1, jnp.int32),
+        plen=jnp.zeros((B, CAP), jnp.int32),
+        open_=jnp.zeros((B, CAP), bool),
+    )
+
+    if seed_cnt is None:
+        # one root node: full SA range at i = read_len (inexact_match.c:281)
+        arena["U"] = arena["U"].at[:, 0].set(didx.length - 1)
+        arena["i"] = arena["i"].at[:, 0].set(lengths)
+        arena["open_"] = arena["open_"].at[:, 0].set(True)
+        n_pushed = jnp.ones((B,), jnp.int32)
+        no_seed_hit = zb
+    else:
+        S = seed_L.shape[1]
+        slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+        live = slot < seed_cnt[:, None]
+        arena["L"] = arena["L"].at[:, :S].set(jnp.where(live, seed_L, 0))
+        arena["U"] = arena["U"].at[:, :S].set(jnp.where(live, seed_U, -1))
+        arena["i"] = arena["i"].at[:, :S].set(
+            jnp.where(live, (lengths - 12)[:, None], 0))
+        arena["plen"] = arena["plen"].at[:, :S].set(jnp.where(live, 12, 0))
+        arena["open_"] = arena["open_"].at[:, :S].set(live)
+        n_pushed = seed_cnt.astype(jnp.int32)
+        no_seed_hit = seed_cnt == 0   # no precalc match => no alignment
+
+    # reads with more N's than the budget are discarded up front
+    pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
+    discard = (n_count > p_maxdiff) | no_seed_hit
+
+    state = dict(
+        arena=arena,
+        n_pushed=n_pushed,
+        n_open=jnp.where(discard, 0, n_pushed),
+        mode=jnp.where(discard, MODE_DONE, MODE_DFS),
+        best_score=jnp.full((B,), worst, jnp.int32),
+        max_diff=jnp.full((B,), p_maxdiff, jnp.int32),
+        num_best=zi,
+        overflow=zb,
+        # alignment output
+        o_L=jnp.zeros((B, ACAP), jnp.int32),
+        o_U=jnp.zeros((B, ACAP), jnp.int32),
+        o_score=jnp.zeros((B, ACAP), jnp.int32),
+        o_len=jnp.zeros((B, ACAP), jnp.int32),
+        o_node=jnp.zeros((B, ACAP), jnp.int32),
+        n_alns=zi,
+        # exact-completion scan
+        x_L=jnp.zeros((B, KX), jnp.int32),
+        x_U=jnp.full((B, KX), -1, jnp.int32),
+        x_cnt=zi,
+        x_j=zi,
+        x_node=zi,
+        iters=jnp.int32(0),
+    )
+    if trace:
+        # debug: per-iteration pop record for lane 0
+        state["trace"] = jnp.full((trace, 10), -9, jnp.int32)
+
+    # ------------------------------------------------------------- emissions
+
+    def emit_alns(st_, lanes, node, Ls, Us, cnt, extra_m):
+        """Record alignments for `lanes`: intervals (Ls,Us)[:cnt] in slot
+        order, path length = node.plen + extra_m.  Implements the hit /
+        exact-completion bookkeeping of inexact_match.c:331-375 and
+        add_alignment's gap dedup (align.c:271-298)."""
+        a = st_["arena"]
+        g = lambda f: jnp.take_along_axis(a[f], node[:, None], 1)[:, 0]
+        mm, go, ge = g("mm"), g("go"), g("ge")
+        plen = g("plen")
+        score = score_of(mm, go, ge)
+
+        first_hit = lanes & (st_["n_alns"] == 0)
+        best_diff = mm + go + ge
+        new_best = jnp.minimum(best_diff + 1, p_maxdiff)
+        best_score = jnp.where(first_hit, score, st_["best_score"])
+        max_diff = jnp.where(first_hit, new_best, st_["max_diff"])
+
+        width = jnp.sum(jnp.where(
+            jnp.arange(Ls.shape[1], dtype=jnp.int32)[None, :] < cnt[:, None],
+            Us - Ls + 1, 0), axis=1)
+        is_best = score == best_score
+        num_best = st_["num_best"] + jnp.where(lanes & is_best, width, 0)
+        # suboptimal hit with enough best hits already => stop this read
+        stop = lanes & ~is_best & (st_["num_best"] > p_maxbest)
+
+        # add alignments slot by slot (KX/1 slots, statically unrolled)
+        o_L, o_U = st_["o_L"], st_["o_U"]
+        o_score, o_len = st_["o_score"], st_["o_len"]
+        o_node, n_alns = st_["o_node"], st_["n_alns"]
+        over = st_["overflow"]
+        add_len = plen + extra_m
+        for s in range(Ls.shape[1]):
+            Lv, Uv = Ls[:, s], Us[:, s]
+            ok = lanes & ~stop & (s < cnt)
+            dup = jnp.any((o_L == Lv[:, None]) & (o_U == Uv[:, None])
+                          & (jnp.arange(ACAP)[None, :] < n_alns[:, None]),
+                          axis=1)
+            ok = ok & ~(dup & (go > 0))
+            full = ok & (n_alns >= ACAP)
+            ok = ok & ~full
+            over = over | full
+            idx = jnp.where(ok, n_alns, ACAP)
+            o_L = o_L.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
+                jnp.where(ok, Lv, o_L[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            o_U = o_U.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
+                jnp.where(ok, Uv, o_U[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            o_score = o_score.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
+                jnp.where(ok, score, o_score[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            o_len = o_len.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
+                jnp.where(ok, add_len, o_len[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            o_node = o_node.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
+                jnp.where(ok, node, o_node[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            n_alns = n_alns + ok.astype(jnp.int32)
+
+        st_ = dict(st_)
+        st_.update(best_score=best_score, max_diff=max_diff,
+                   num_best=num_best, o_L=o_L, o_U=o_U, o_score=o_score,
+                   o_len=o_len, o_node=o_node, n_alns=n_alns, overflow=over)
+        mode = jnp.where(stop, MODE_DONE, st_["mode"])
+        st_["mode"] = mode
+        return st_
+
+    # --------------------------------------------------------- exact-scan step
+
+    def exact_step(st_):
+        lanes = st_["mode"] == MODE_EXACT
+        j = st_["x_j"]
+        c = jnp.where(lanes & (j >= 0), jnp.take_along_axis(
+            rc, jnp.clip(j, 0, Lmax - 1)[:, None], 1)[:, 0], 4)
+        if multiref:
+            nL, nU, ncnt, _w, ov = expand_step(
+                didx, st_["x_L"], st_["x_U"], st_["x_cnt"], c)
+        else:
+            # single-interval 1-to-1 scan (exact_match_1to1_bounded)
+            is_n = c > 3
+            gc = jnp.asarray(_GRAY4)[jnp.clip(c, 0, 4)]
+            L0, U0 = st_["x_L"][:, 0], st_["x_U"][:, 0]
+            occL = rank1(didx, gc, L0 - 1)
+            occU = jnp.where(L0 - 1 == U0, occL, rank1(didx, gc, U0))
+            Cc = jnp.take(didx.Carr, gc)
+            L1 = Cc + occL + 1
+            U1 = Cc + occU
+            dead = is_n | (L1 > U1)
+            nL = st_["x_L"].at[:, 0].set(jnp.where(dead, 0, L1))
+            nU = st_["x_U"].at[:, 0].set(jnp.where(dead, -1, U1))
+            ncnt = jnp.where(dead, 0, 1)
+            ov = zb
+        adv = lanes
+        nL = jnp.where(adv[:, None], nL, st_["x_L"])
+        nU = jnp.where(adv[:, None], nU, st_["x_U"])
+        ncnt = jnp.where(adv, ncnt, st_["x_cnt"])
+        nj = jnp.where(adv, j - 1, j)
+        over = st_["overflow"] | (adv & ov)
+
+        finished = adv & ((ncnt == 0) | (nj < 0))
+        matched = finished & (ncnt > 0)
+
+        st_ = dict(st_)
+        st_.update(x_L=nL, x_U=nU, x_cnt=ncnt, x_j=nj, overflow=over)
+        # extra matched chars: the scan consumed (e.i) chars => path extends
+        # by e.i implicit matches (inexact_match.c:365)
+        a_i = jnp.take_along_axis(st_["arena"]["i"], st_["x_node"][:, None],
+                                  1)[:, 0]
+        st_ = emit_alns(st_, matched, st_["x_node"], nL, nU,
+                        jnp.where(matched, ncnt, 0), a_i)
+        # finished lanes resume the DFS (unless emit stopped them)
+        st_["mode"] = jnp.where(finished & (st_["mode"] == MODE_EXACT),
+                                MODE_DFS, st_["mode"])
+        return st_
+
+    # --------------------------------------------------------------- DFS step
+
+    def dfs_step(st_):
+        a = st_["arena"]
+        lanes = st_["mode"] == MODE_DFS
+
+        drained = lanes & (st_["n_open"] == 0)
+        too_many = lanes & (st_["n_open"] > p_maxentries)
+        st_ = dict(st_)
+        st_["mode"] = jnp.where(drained | too_many, MODE_DONE, st_["mode"])
+        lanes = st_["mode"] == MODE_DFS
+
+        # pop: min score, then most recent push (heap_pop semantics)
+        key = a["score"] * (CAP + 1) + (CAP - jnp.arange(CAP, dtype=jnp.int32))
+        key = jnp.where(a["open_"], key, jnp.iinfo(jnp.int32).max)
+        node = jnp.argmin(key, axis=1).astype(jnp.int32)
+        a = dict(a)
+        a["open_"] = a["open_"] & ~(lanes[:, None]
+                                    & (jnp.arange(CAP)[None, :] == node[:, None]))
+        st_["arena"] = a
+        st_["n_open"] = st_["n_open"] - lanes.astype(jnp.int32)
+
+        g = lambda f: jnp.take_along_axis(a[f], node[:, None], 1)[:, 0]
+        eL, eU, ei = g("L"), g("U"), g("i")
+        emm, ego, ege = g("mm"), g("go"), g("ge")
+        est, esnp, escore = g("st"), g("snp"), g("score")
+
+        if "trace" in st_:
+            rec = jnp.stack([lanes[0].astype(jnp.int32), node[0], escore[0],
+                             ei[0], eL[0], eU[0], emm[0], ego[0], ege[0],
+                             est[0]])
+            st_["trace"] = st_["trace"].at[
+                jnp.clip(st_["iters"], 0, st_["trace"].shape[0] - 1)].set(rec)
+
+        # ---- prune chain (inexact_match.c:309-328)
+        stop = lanes & (escore > st_["best_score"] + p_mm)
+        st_["mode"] = jnp.where(stop, MODE_DONE, st_["mode"])
+        lanes = lanes & ~stop
+
+        diff_left = st_["max_diff"] - emm - ego - ege
+        cont = diff_left < 0
+        Dnd = lambda arr, idx: jnp.take_along_axis(
+            arr[:, :, 0], jnp.clip(idx, 0, arr.shape[1] - 1)[:, None], 1)[:, 0]
+        Dw = lambda arr, idx: jnp.take_along_axis(
+            arr[:, :, 1], jnp.clip(idx, 0, arr.shape[1] - 1)[:, None], 1)[:, 0]
+        cont = cont | ((ei > 0) & (diff_left < Dnd(D, ei - 1)))
+        dls = p_maxdiffseed - emm - ego - ege
+        seed_index = ei - (lengths - p_seedlen)
+        cont = cont | ((seed_index > 0) & (dls < Dnd(D_seed, seed_index - 1)))
+        live = lanes & ~cont
+
+        # ---- hit at i == 0 (inexact_match.c:332-344)
+        hit = live & (ei == 0)
+        st_ = emit_alns(st_, hit, node, eL[:, None], eU[:, None],
+                        hit.astype(jnp.int32), zi)
+        live = live & ~hit & (st_["mode"] == MODE_DFS)
+
+        # ---- exact completion when the budget is exhausted (:345-375)
+        to_exact = live & (diff_left == 0)
+        st_["mode"] = jnp.where(to_exact, MODE_EXACT, st_["mode"])
+        st_["x_node"] = jnp.where(to_exact, node, st_["x_node"])
+        st_["x_j"] = jnp.where(to_exact, ei - 1, st_["x_j"])
+        st_["x_cnt"] = jnp.where(to_exact, 1, st_["x_cnt"])
+        st_["x_L"] = jnp.where(to_exact[:, None],
+                               jnp.zeros((B, KX), jnp.int32)
+                               .at[:, 0].set(eL), st_["x_L"])
+        st_["x_U"] = jnp.where(to_exact[:, None],
+                               jnp.full((B, KX), -1, jnp.int32)
+                               .at[:, 0].set(eU), st_["x_U"])
+        live = live & ~to_exact
+
+        # ---- expansion (inexact_match.c:377-504)
+        if multiref:
+            Lv = rank_all_dfs(didx, eL - 1, inc=1)
+            Uv = rank_all_dfs(didx, eU, inc=0)
+        else:
+            Lv = rank_actg_dfs(didx, eL - 1, inc=1)
+            Uv = rank_actg_dfs(didx, eU, inc=0)
+
+        allow_diff = jnp.ones((B,), bool)
+        allow_mm = jnp.ones((B,), bool)
+        pm = ei - 1 > 0
+        ad1 = diff_left - 1 < Dnd(D, ei - 2)
+        am1 = ((Dnd(D, ei - 1) == diff_left - 1)
+               & (Dnd(D, ei - 2) == diff_left - 1)
+               & (Dw(D, ei - 1) == Dw(D, ei - 2)))
+        allow_diff = allow_diff & ~(pm & ad1)
+        allow_mm = allow_mm & ~(pm & ~ad1 & am1)
+        ps = seed_index - 1 > 0
+        ad2 = dls - 1 < Dnd(D_seed, seed_index - 2)
+        am2 = ((Dnd(D_seed, seed_index - 1) == dls - 1)
+               & (Dnd(D_seed, seed_index - 2) == dls - 1)
+               & (Dw(D_seed, seed_index - 1) == Dw(D_seed, seed_index - 2)))
+        allow_diff = allow_diff & ~(ps & ad2)
+        allow_mm = allow_mm & ~(ps & ~ad2 & am2)
+
+        tmp = ego + ege
+        allow_indels = ~(((ei - 1) < (p_noindel + tmp))
+                         | ((lengths - (ei - 1)) < (p_noindel + tmp)))
+        allow_indels = allow_indels & ~((ego >= p_maxgapo)
+                                        & (ege >= p_maxgape))
+        allow_open = ego < p_maxgapo
+        allow_extend = ege < p_maxgape
+
+        c = jnp.take_along_axis(rc, jnp.clip(ei - 1, 0, Lmax - 1)[:, None],
+                                1)[:, 0]
+        c = jnp.clip(c, 0, 4)
+
+        # candidate slots: [insertion] + [deletion j=1..NJ-1] + [mm j=1..NJ-1]
+        NSLOT = 1 + 2 * (NJ - 1)
+        is_I = est == C.STATE_I
+        is_M = est == C.STATE_M
+        ind_ok = allow_diff & allow_indels
+
+        cand = {k: jnp.zeros((B, NSLOT), jnp.int32) for k in
+                ("L", "U", "i", "mm", "go", "ge", "st", "snp")}
+        valid = jnp.zeros((B, NSLOT), bool)
+
+        # slot 0: insertion (extend if state==I else open if state==M)
+        ins_ok = ind_ok & ((is_I & allow_extend) | (is_M & allow_open))
+        valid = valid.at[:, 0].set(live & ins_ok)
+        cand["L"] = cand["L"].at[:, 0].set(eL)
+        cand["U"] = cand["U"].at[:, 0].set(eU)
+        cand["i"] = cand["i"].at[:, 0].set(ei - 1)
+        cand["mm"] = cand["mm"].at[:, 0].set(emm)
+        cand["go"] = cand["go"].at[:, 0].set(ego + is_M.astype(jnp.int32))
+        cand["ge"] = cand["ge"].at[:, 0].set(ege + is_I.astype(jnp.int32))
+        cand["st"] = cand["st"].at[:, 0].set(C.STATE_I)
+        cand["snp"] = cand["snp"].at[:, 0].set(esnp)
+
+        match_row = jnp.asarray(_MATCH)[c]     # [B, 16]
+        for t, j in enumerate(range(1, NJ)):
+            Lj, Uj = Lv[:, j], Uv[:, j]
+            nonempty = Lj <= Uj
+            # deletion: consumes a reference char, keeps i
+            del_ok = (ind_ok & ~is_I & nonempty
+                      & ((is_M & allow_open) | (~is_M & allow_extend)))
+            s = 1 + t
+            valid = valid.at[:, s].set(live & del_ok)
+            cand["L"] = cand["L"].at[:, s].set(Lj)
+            cand["U"] = cand["U"].at[:, s].set(Uj)
+            cand["i"] = cand["i"].at[:, s].set(ei)
+            cand["mm"] = cand["mm"].at[:, s].set(emm)
+            cand["go"] = cand["go"].at[:, s].set(ego + is_M.astype(jnp.int32))
+            cand["ge"] = cand["ge"].at[:, s].set(ege + (~is_M).astype(jnp.int32))
+            cand["st"] = cand["st"].at[:, s].set(C.STATE_D)
+            cand["snp"] = cand["snp"].at[:, s].set(esnp)
+
+            # match/mismatch (or exact-only continuation when mm suppressed)
+            if multiref:
+                is_match = (c <= 3) & (j != C.ORDER_N) & (match_row[:, j] > 0)
+                snp_add = int(_IS_SNP[j])
+                member = (c <= 3) & (match_row[:, j] > 0) & (j != C.ORDER_N)
+            else:
+                is_match = (c <= 3) & (c == j - 1)
+                snp_add = 0
+                member = is_match
+            mm_branch = allow_diff & allow_mm
+            ok_mm = mm_branch & nonempty
+            ok_ex = ~mm_branch & (c < 4) & member & nonempty
+            s = NJ + t
+            valid = valid.at[:, s].set(live & (ok_mm | ok_ex))
+            cand["L"] = cand["L"].at[:, s].set(Lj)
+            cand["U"] = cand["U"].at[:, s].set(Uj)
+            cand["i"] = cand["i"].at[:, s].set(ei - 1)
+            cand["mm"] = cand["mm"].at[:, s].set(
+                emm + jnp.where(ok_mm & ~is_match, 1, 0))
+            cand["go"] = cand["go"].at[:, s].set(ego)
+            cand["ge"] = cand["ge"].at[:, s].set(ege)
+            cand["st"] = cand["st"].at[:, s].set(C.STATE_M)
+            cand["snp"] = cand["snp"].at[:, s].set(esnp + snp_add)
+
+        # batched multi-push preserving slot order
+        npush = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        total = npush[:, -1]
+        slot_pos = st_["n_pushed"][:, None] + npush - 1
+        over = st_["overflow"] | (st_["n_pushed"] + total > CAP)
+        st_["overflow"] = over
+        st_["mode"] = jnp.where(over & (st_["mode"] == MODE_DFS),
+                                MODE_DONE, st_["mode"])
+        write = valid & ~over[:, None]
+        tgt = jnp.where(write, slot_pos, CAP)   # CAP => dropped
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, NSLOT))
+
+        a = dict(st_["arena"])
+        scores = score_of(cand["mm"], cand["go"], cand["ge"])
+        for f, v in (("L", cand["L"]), ("U", cand["U"]), ("i", cand["i"]),
+                     ("mm", cand["mm"]), ("go", cand["go"]),
+                     ("ge", cand["ge"]), ("st", cand["st"]),
+                     ("snp", cand["snp"]), ("score", scores),
+                     ("parent", jnp.broadcast_to(node[:, None], (B, NSLOT))),
+                     ("plen", jnp.broadcast_to(
+                         (g("plen") + 1)[:, None], (B, NSLOT)))):
+            a[f] = a[f].at[rows, tgt].set(v, mode="drop")
+        a["open_"] = a["open_"].at[rows, tgt].set(write, mode="drop")
+        st_["arena"] = a
+        # `valid` already carries the live-lane mask, so total is 0 elsewhere
+        add = jnp.where(over, 0, total)
+        st_["n_pushed"] = st_["n_pushed"] + add
+        st_["n_open"] = st_["n_open"] + add
+        return st_
+
+    # ------------------------------------------------------------- main loop
+
+    def cond(st_):
+        return (jnp.any(st_["mode"] != MODE_DONE)
+                & (st_["iters"] < cfg.max_iters))
+
+    def body(st_):
+        any_exact = jnp.any(st_["mode"] == MODE_EXACT)
+        st_ = jax.lax.cond(any_exact, exact_step, lambda s: dict(s), st_)
+        st_ = dfs_step(st_)
+        st_ = dict(st_)
+        st_["iters"] = st_["iters"] + 1
+        return st_
+
+    st = jax.lax.while_loop(cond, body, state)
+
+    timeout = st["mode"] != MODE_DONE
+    a = st["arena"]
+    extra = {"trace": st["trace"]} if trace else {}
+    return dict(
+        **extra,
+        n_alns=st["n_alns"],
+        o_L=st["o_L"], o_U=st["o_U"], o_score=st["o_score"],
+        o_len=st["o_len"], o_node=st["o_node"],
+        o_mm=jnp.take_along_axis(a["mm"], st["o_node"], 1),
+        o_go=jnp.take_along_axis(a["go"], st["o_node"], 1),
+        o_ge=jnp.take_along_axis(a["ge"], st["o_node"], 1),
+        o_snp=jnp.take_along_axis(a["snp"], st["o_node"], 1),
+        o_plen=jnp.take_along_axis(a["plen"], st["o_node"], 1),
+        overflow=st["overflow"] | timeout,
+        # packed parent/state links for host path reconstruction
+        links=a["parent"] * 4 + a["st"],
+        iters=st["iters"],
+        n_pushed=st["n_pushed"],
+    )

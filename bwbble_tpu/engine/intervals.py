@@ -1,0 +1,105 @@
+"""Lockstep SA-interval-list expansion.
+
+The reference keeps per-read linked lists of disjoint sorted SA intervals
+(sa_intv_list_t, align.c:34-46) and expands each interval by the <=7 IUPAC
+symbols matching the next read base (exact_match.c:88-109).  Here a batch of
+reads holds fixed-capacity interval arrays [B, K]; one expansion step is:
+
+1. batched rank_all_exact at (L-1) and U for every slot — [B*K] queries;
+2. gather the 7 candidate bounds per lane from the per-slot rank vectors;
+3. vectorized order-preserving compaction + adjoining-interval merge
+   (the merge semantics of add_sa_interval, align.c:93-110) via a
+   segmented min/max over merge chains.
+
+Candidate order (slot-major, base-minor) reproduces the reference's list
+construction order, so compacted lists are element-for-element identical.
+Capacity overflow sets a per-lane flag; the pipeline reruns those reads
+through the host gold engine.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.engine.device_index import DeviceIndex
+from bwbble_tpu.engine.rank import rank_all_exact
+
+_NUCL = np.asarray(C.NUCL_BASES, dtype=np.int32)          # [4, 7]
+_NB = C.BASES_PER_NUCLEOTIDE
+
+
+def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
+                cnt: jax.Array, c: jax.Array):
+    """One backward-search step over interval lists.
+
+    Args:  Ls/Us int32 [B, K]; cnt int32 [B]; c int32 [B] nt4 read base.
+    Returns (newLs, newUs, newcnt, width_sum, overflow_step):
+      width_sum[b] = total width of the candidate intervals (the
+      num_matches accumulator of calculate_d, inexact_match.c:226);
+      overflow_step[b] = merged list exceeded K.
+    Lanes with c > 3 (N) produce empty lists (exact_match.c:84-86).
+    """
+    B, K = Ls.shape
+    occL = rank_all_exact(didx, (Ls - 1).reshape(-1), inc=1).reshape(B, K, 16)
+    occU = rank_all_exact(didx, Us.reshape(-1), inc=0).reshape(B, K, 16)
+
+    c_safe = jnp.clip(c, 0, 3)
+    bases = jnp.asarray(_NUCL)[c_safe]                      # [B, 7]
+    bidx = jnp.broadcast_to(bases[:, None, :], (B, K, _NB))
+    candL = jnp.take_along_axis(occL, bidx, axis=2)          # [B, K, 7]
+    candU = jnp.take_along_axis(occU, bidx, axis=2)
+
+    slot = jnp.arange(K, dtype=jnp.int32)
+    valid = ((slot[None, :, None] < cnt[:, None, None])
+             & (candL <= candU) & (c[:, None, None] < 4))
+
+    width_sum = jnp.sum(jnp.where(valid, candU - candL + 1, 0), axis=(1, 2),
+                        dtype=jnp.int32)
+
+    newLs, newUs, newcnt, overflow = merge_compact(
+        candL.reshape(B, K * _NB), candU.reshape(B, K * _NB),
+        valid.reshape(B, K * _NB), K)
+    return newLs, newUs, newcnt, width_sum, overflow
+
+
+def merge_compact(candL: jax.Array, candU: jax.Array, valid: jax.Array,
+                  K: int):
+    """Order-preserving compaction of valid candidates with adjoining-interval
+    merge, returning at most K merged intervals per lane."""
+    B, M = candL.shape
+    # stable compaction: valid candidates to the front, order preserved
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    Lc = jnp.take_along_axis(candL, order, axis=1)
+    Uc = jnp.take_along_axis(candU, order, axis=1)
+    vc = jnp.take_along_axis(valid, order, axis=1)
+
+    prevU = jnp.concatenate(
+        [jnp.full((B, 1), -2, dtype=Uc.dtype), Uc[:, :-1]], axis=1)
+    pos = jnp.arange(M, dtype=jnp.int32)
+    head = vc & ((pos[None, :] == 0) | (Lc != prevU + 1))
+    gid = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1     # [-1 .. K*7)
+    newcnt = jnp.where(vc, gid + 1, 0).max(axis=1, initial=0)
+
+    # segmented reduce over contiguous merge chains
+    seg_cap = K + 1
+    gid_c = jnp.clip(gid, 0, seg_cap - 1)
+    flat_gid = (jnp.arange(B, dtype=jnp.int32)[:, None] * seg_cap + gid_c)
+    big = jnp.iinfo(jnp.int32).max
+    Lmin = jax.ops.segment_min(
+        jnp.where(vc, Lc, big).reshape(-1), flat_gid.reshape(-1),
+        num_segments=B * seg_cap, indices_are_sorted=True)
+    Umax = jax.ops.segment_max(
+        jnp.where(vc, Uc, -1).reshape(-1), flat_gid.reshape(-1),
+        num_segments=B * seg_cap, indices_are_sorted=True)
+    Lmin = Lmin.reshape(B, seg_cap)[:, :K]
+    Umax = Umax.reshape(B, seg_cap)[:, :K]
+
+    overflow = newcnt > K
+    newcnt = jnp.minimum(newcnt, K)
+    live = jnp.arange(K, dtype=jnp.int32)[None, :] < newcnt[:, None]
+    newLs = jnp.where(live, Lmin, 0)
+    newUs = jnp.where(live, Umax, -1)
+    return newLs, newUs, newcnt, overflow

@@ -1,0 +1,120 @@
+"""Device alignment pipeline: batches reads onto the TPU engines and falls
+back to the host gold engine per read on any capacity overflow, so output is
+byte-identical to the reference at every capacity setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.align.params import AlnParams
+from bwbble_tpu.align.pipeline import align_read_gold
+from bwbble_tpu.engine.device_index import DeviceIndex
+from bwbble_tpu.engine.dbound import calc_d, calc_d_1to1
+from bwbble_tpu.engine.inexact import EngineConfig, inexact_search
+from bwbble_tpu.formats.fastq import Reads
+from bwbble_tpu.gold.engine import Aln
+from bwbble_tpu.index.fmindex import FMIndex
+
+
+def _reconstruct_path(links_row: np.ndarray, node: int, plen: int,
+                      out_len: int) -> bytes:
+    """Rebuild a push-order state path from parent links.
+
+    Each arena node packs parent*4 + state; roots have parent -1.  The chain
+    from `node` up yields states in reverse push order; the root's implicit
+    all-match prefix (plen minus chain length zeros) and the exact-completion
+    tail (out_len - plen zeros) are match states (STATE_M == 0).
+    """
+    states = []
+    cur = node
+    while True:
+        link = int(links_row[cur])
+        parent, state = link >> 2, link & 3
+        if parent < 0:
+            break          # root nodes carry no appended state
+        states.append(state)
+        cur = parent
+    chain = bytes(reversed(states))
+    prefix = bytes(plen - len(chain))
+    path = prefix + chain
+    if out_len > len(path):
+        path = path + bytes(out_len - len(path))
+    return path[:out_len]
+
+
+def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
+                       params: AlnParams, cfg: EngineConfig | None = None,
+                       d_cap: int = 32, stats: dict | None = None
+                       ) -> list[list[Aln]]:
+    """Align all reads on the device; returns per-read alignment lists in
+    the reference's discovery order (byte-parity with align_reads_inexact).
+    """
+    cfg = cfg or EngineConfig()
+    B = int(params.batch_size)
+    out: list[list[Aln]] = []
+    n_fallback = 0
+    for start in range(0, reads.count, B):
+        stop = min(start + B, reads.count)
+        nb = stop - start
+        seq = np.zeros((nb, max(reads.max_len, 1)), dtype=np.int8)
+        rc = np.zeros_like(seq)
+        seq[:, :reads.seq.shape[1]] = reads.seq[start:stop]
+        rc[:, :reads.rc.shape[1]] = reads.rc[start:stop]
+        lengths = reads.lengths[start:stop].astype(np.int32)
+
+        res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
+                                jnp.asarray(lengths), params, cfg, d_cap)
+        n_alns = np.asarray(res["n_alns"])
+        overflow = np.asarray(res["overflow"]) | dover
+        o = {k: np.asarray(v) for k, v in res.items()
+             if k.startswith("o_")}
+        links = np.asarray(res["links"])
+
+        for b in range(nb):
+            if overflow[b]:
+                n_fallback += 1
+                out.append(align_read_gold(
+                    idx, reads.seq[start + b], reads.rc[start + b],
+                    int(lengths[b]), params))
+                continue
+            alns = []
+            for k in range(int(n_alns[b])):
+                out_len = int(o["o_len"][b, k])
+                path = _reconstruct_path(links[b], int(o["o_node"][b, k]),
+                                         int(o["o_plen"][b, k]), out_len)
+                alns.append(Aln(
+                    score=int(o["o_score"][b, k]), L=int(o["o_L"][b, k]),
+                    U=int(o["o_U"][b, k]), num_mm=int(o["o_mm"][b, k]),
+                    num_gapo=int(o["o_go"][b, k]),
+                    num_gape=int(o["o_ge"][b, k]),
+                    num_snps=int(o["o_snp"][b, k]) & 0xFF,
+                    aln_length=out_len, path=path))
+            out.append(alns)
+    if stats is not None:
+        stats["fallback_reads"] = n_fallback
+    return out
+
+
+def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap):
+    seed_len = int(params.seed_length)
+    if params.is_multiref:
+        D, dov1 = calc_d(didx, seq, lengths, K=d_cap)
+    else:
+        D, dov1 = calc_d_1to1(didx, seq, lengths)
+    use_seed = (np.asarray(lengths) > seed_len) & (seed_len > 0)
+    seed_lengths = jnp.asarray(np.where(use_seed, seed_len, 0).astype(np.int32))
+    if params.is_multiref:
+        Ds, dov2 = calc_d(didx, seq, seed_lengths, K=d_cap,
+                          max_len=max(seed_len, 1))
+    else:
+        Ds, dov2 = calc_d_1to1(didx, seq, seed_lengths,
+                               max_len=max(seed_len, 1))
+    # reads not using a seed keep an all-zero D_seed (calloc semantics,
+    # inexact_match.c:36,62-64)
+    Ds = jnp.where(jnp.asarray(use_seed)[:, None, None], Ds, 0)
+    res = inexact_search(didx, rc, lengths, D, Ds, params, cfg)
+    dover = np.asarray(dov1) | (np.asarray(dov2) & use_seed)
+    return res, dover

@@ -1,0 +1,153 @@
+"""Batched FM-index rank kernels (XLA path).
+
+Each function takes a vector of BWT positions and returns occurrence bounds
+for a whole batch in lockstep — the TPU-native replacement for the
+reference's per-call checkpoint+popcount loops (bwt.c:348-781).  The compute
+shape is: gather one 128-wide int8 block + one 16-wide int32 checkpoint row
+per query, compare/mask/reduce on the VPU.
+
+Two 16-char variants exist on purpose:
+- `rank_all_exact`: true counts for every symbol (the per-base O() calls of
+  the exact search and D computation, bwt.c:348-372);
+- `rank_all_dfs`: the inexact-search semantics, where the three-base codes
+  B/H/V/D get no in-block counts (quirk Q1, bwt.c:698-734) yet still see the
+  checkpoint-first-char decrement (bwt.c:780), and where the i==-1 /
+  i==length-1 edge paths return full counts for ALL symbols.
+
+Returned values are fully-formed interval bounds: occ[j] = C[j] + O(j,i) + inc,
+exactly what backward search consumes (L = occ_L[j], U = occ_U[j]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.engine.device_index import BLK, DeviceIndex
+
+_SKIP_MASK = np.zeros(16, dtype=bool)
+for _j in C.SKIPPED_ORDERS:
+    _SKIP_MASK[_j] = True
+
+
+def _gather_block(didx: DeviceIndex, i: jax.Array):
+    """Clamp i into the normal-path domain and fetch (block, checkpoint row,
+    in-block offset, first char)."""
+    len_m1 = didx.length - 1
+    i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
+    k = i_c // BLK
+    off = i_c - k * BLK
+    blk = jnp.take(didx.blocks, k, axis=0).astype(jnp.int32)   # [B, 128]
+    ck = jnp.take(didx.occ, k, axis=0)                         # [B, 16]
+    first = blk[:, 0]
+    return blk, ck, off, first
+
+
+def _block_counts(blk: jax.Array, off: jax.Array) -> jax.Array:
+    """counts[b, j] = #positions p <= off[b] with blk[b, p] == j."""
+    pos = jnp.arange(BLK, dtype=jnp.int32)
+    mask = pos[None, :] <= off[:, None]                        # [B, 128]
+    sym = jnp.arange(16, dtype=jnp.int32)
+    onehot = (blk[:, :, None] == sym[None, None, :]) & mask[:, :, None]
+    return jnp.sum(onehot, axis=1, dtype=jnp.int32)            # [B, 16]
+
+
+def _rank_all(didx: DeviceIndex, i: jax.Array, inc: int, dfs: bool
+              ) -> jax.Array:
+    i = i.astype(jnp.int32)
+    len_m1 = didx.length - 1
+    blk, ck, off, first = _gather_block(didx, i)
+    cnt = _block_counts(blk, off)
+    sym = jnp.arange(16, dtype=jnp.int32)
+    first_dec = (first[:, None] == sym[None, :]).astype(jnp.int32)
+    Cv = didx.Carr[:16][None, :]
+
+    normal = Cv + ck + cnt + inc - first_dec
+    if dfs:
+        skipped = Cv + inc - first_dec
+        normal = jnp.where(jnp.asarray(_SKIP_MASK)[None, :], skipped, normal)
+    low = Cv + inc                                # i == -1
+    high = didx.Carr[1:17][None, :] + inc         # i == length-1
+    out = jnp.where((i == len_m1)[:, None], high,
+                    jnp.where((i < 0)[:, None], low, normal))
+    return out.at[:, 0].set(0)
+
+
+def rank_all_exact(didx: DeviceIndex, i: jax.Array, inc: int) -> jax.Array:
+    """[B] positions -> [B, 16] bounds with true counts for all symbols."""
+    return _rank_all(didx, i, inc, dfs=False)
+
+
+def rank_all_dfs(didx: DeviceIndex, i: jax.Array, inc: int) -> jax.Array:
+    """[B] positions -> [B, 16] bounds with inexact-search (Q1) semantics."""
+    return _rank_all(didx, i, inc, dfs=True)
+
+
+def rank_actg_dfs(didx: DeviceIndex, i: jax.Array, inc: int) -> jax.Array:
+    """[B] -> [B, 5]; slots 1..4 = A,G,C,T bounds for single-genome mode
+    (O_actg_alphabet, bwt.c:440-463).  The in-block scan is exact for the
+    four pure-base symbols, so this is a projection of rank_all_exact."""
+    full = _rank_all(didx, i, inc, dfs=False)
+    gray = jnp.asarray(np.array(C.NT4_GRAY[:4], dtype=np.int32))
+    out = jnp.zeros((i.shape[0], 5), dtype=full.dtype)
+    return out.at[:, 1:5].set(jnp.take(full, gray, axis=1))
+
+
+def rank1(didx: DeviceIndex, c: jax.Array, i: jax.Array) -> jax.Array:
+    """Single-char rank O(c, i) per lane (bwt.c:348-372), including the
+    sentinel-row exclusion for c == 0 (bwt.c:360-369)."""
+    c = c.astype(jnp.int32)
+    i = i.astype(jnp.int32)
+    len_m1 = didx.length - 1
+    blk, ck, off, first = _gather_block(didx, i)
+    base = (i // BLK) * BLK
+    pos = jnp.arange(BLK, dtype=jnp.int32)
+    mask = pos[None, :] <= off[:, None]
+    cnt = jnp.sum((blk == c[:, None]) & mask, axis=1, dtype=jnp.int32)
+    ckc = jnp.take_along_axis(ck, c[:, None], axis=1)[:, 0]
+    sentinel = ((c == 0) & (base < didx.sa0) & (didx.sa0 <= i)).astype(jnp.int32)
+    normal = ckc + cnt - (first == c).astype(jnp.int32) - sentinel
+    high = (jnp.take(didx.Carr, c + 1) - jnp.take(didx.Carr, c))
+    return jnp.where(i == len_m1, high, jnp.where(i < 0, 0, normal))
+
+
+def bwt_char(didx: DeviceIndex, i: jax.Array) -> jax.Array:
+    """B(i) per lane (bwt.c:337-345)."""
+    i = i.astype(jnp.int32)
+    k = i // BLK
+    off = i - k * BLK
+    return didx.blocks[k, off].astype(jnp.int32)
+
+
+def inv_psi(didx: DeviceIndex, i: jax.Array) -> jax.Array:
+    """LF step per lane (invPsi, bwt.c:311-317)."""
+    c = bwt_char(didx, i)
+    step = jnp.take(didx.Carr, c) + rank1(didx, c, i)
+    return jnp.where(i == didx.sa0, 0, step)
+
+
+def sa_resolve(didx: DeviceIndex, rows: jax.Array) -> jax.Array:
+    """Batched SA lookup: walk invPsi to a sampled row (SA, bwt.c:320-329).
+
+    Samples are stored at rows ≡ 0 (mod SA_INTERVAL), so the lockstep walk
+    length is geometric with mean SA_INTERVAL; all lanes run until every one
+    has parked on a sampled row.
+    """
+    def cond(state):
+        i, _ = state
+        return jnp.any(i % C.SA_INTERVAL != 0)
+
+    def body(state):
+        i, j = state
+        at_sample = (i % C.SA_INTERVAL) == 0
+        i2 = inv_psi(didx, i)
+        return (jnp.where(at_sample, i, i2),
+                jnp.where(at_sample, j, j + 1))
+
+    i, j = jax.lax.while_loop(cond, body,
+                              (rows.astype(jnp.int32),
+                               jnp.zeros_like(rows, dtype=jnp.int32)))
+    vals = jnp.take(didx.sa_samples, i // C.SA_INTERVAL)
+    return (vals + j) % didx.length
