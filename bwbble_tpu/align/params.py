@@ -36,6 +36,9 @@ class AlnParams:
     n_threads: int = 1         # -t (host-side; device engine batches instead)
 
     # --- TPU engine knobs (no reference counterpart) ---
+    precalc_len: int = 12          # PRECALC_INTERVAL_LENGTH (align.h:31);
+                                   # parameterized here so tests can exercise
+                                   # the -P path with small tables
     batch_size: int = 2048         # reads per device batch
     exact_intv_cap: int = 16       # fixed capacity of per-lane SA-interval lists
     arena_cap: int = 2048          # per-lane search-arena capacity (inexact)

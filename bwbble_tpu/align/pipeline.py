@@ -27,7 +27,7 @@ def align_read_gold(idx: FMIndex, seq: np.ndarray, rc: np.ndarray,
     """Align one read (the per-read body of align_reads_inexact,
     inexact_match.c:46-66)."""
     if params.use_precalc:
-        ri = G.read2index(rc, length)
+        ri = G.read2index(rc, length, k=params.precalc_len)
         if ri < 0:
             return []
         precalc_intvs = precalc[ri]

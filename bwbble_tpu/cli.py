@@ -1,0 +1,224 @@
+"""`bwbble` command-line interface.
+
+Reproduces the reference CLI surface (mg-aligner/main.c:72-160): subcommands
+`index`, `align`, `fasta2ref`, `aln2sam` with the same single-letter flags and
+positional arguments, and the same derived file names (`<fasta>.{ref,ann,bwt,
+pre}`).  TPU-specific extensions are long options only (--engine, --batch),
+so every reference invocation works verbatim.
+
+Run as `python -m bwbble_tpu ...` or via the `bwbble` wrapper script.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+import time
+
+import numpy as np
+
+
+def _usage() -> int:
+    print("Usage:   bwbble command [options]")
+    print("Command: index    index sequences in the FASTA format")
+    print("         align    exact or inexact read alignment")
+    print("         fasta2ref    constructs a single linear reference "
+          "from the input file")
+    print("         aln2sam  convert alignment results to SAM file format "
+          "for single-end mapping")
+    return 1
+
+
+def read_external_sa(path: str, n: int) -> np.ndarray:
+    """Stream a 40-bit/entry external suffix array (eSAIS format) into the
+    (n+1)-row full SA expected by FMIndex.build (esa2bwt, bwt.c:132-158):
+    row 0 is the virtual total-'$' (value n), rows 1..n come from the file."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.shape[0] < 5 * n:
+        raise ValueError(f"external SA file {path} too short: "
+                         f"{raw.shape[0]} bytes < {5 * n}")
+    raw = raw[:5 * n].reshape(n, 5).astype(np.int64)
+    vals = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            | (raw[:, 3] << 24) | (raw[:, 4] << 32))
+    return np.concatenate([np.array([n], dtype=np.int64), vals])
+
+
+def cmd_index(argv: list[str]) -> int:
+    from bwbble_tpu.formats.fasta import fasta2ref, read_ref
+    from bwbble_tpu.index.fmindex import FMIndex
+
+    try:
+        opts, args = getopt.getopt(argv, "e:")
+    except getopt.GetoptError as e:
+        print(e)
+        return 1
+    if not args:
+        print("Usage: bwbble index [options] <seq_fasta>")
+        print("Options: e    file with the SA precomputed by the external "
+              "memory eSAIS algorithm.")
+        return 1
+    esa = dict(opts).get("-e")
+    fasta = args[0]
+    print("**** BWT Index ****")
+    t = time.time()
+    if esa is None:
+        codes, _ann = fasta2ref(fasta, fasta + ".ref", fasta + ".ann")
+        idx = FMIndex.build(codes)
+    else:
+        codes = read_ref(fasta + ".ref")
+        idx = FMIndex.build(codes, full_sa=read_external_sa(
+            esa, codes.shape[0]))
+    print(f"Total BWT construction time: {time.time() - t:.2f} sec")
+    idx.store(fasta + ".bwt")
+    return 0
+
+
+def cmd_fasta2ref(argv: list[str]) -> int:
+    from bwbble_tpu.formats.fasta import fasta2ref
+    if not argv:
+        print("Usage: bwbble fasta2ref <seq_fasta>")
+        return 1
+    fasta2ref(argv[0], argv[0] + ".ref", argv[0] + ".ann")
+    return 0
+
+
+def cmd_align(argv: list[str]) -> int:
+    from bwbble_tpu.align.params import AlnParams
+    from bwbble_tpu.align.pipeline import align_reads_gold
+    from bwbble_tpu.formats.aln import write_aln_file
+    from bwbble_tpu.formats.fastq import read_fastq
+    from bwbble_tpu.index.fmindex import FMIndex
+
+    long_opts = ["engine=", "batch=", "arena="]
+    try:
+        opts, args = getopt.gnu_getopt(argv, "M:O:E:n:k:o:e:l:m:t:SP",
+                                       long_opts)
+    except getopt.GetoptError as e:
+        print(e)
+        return 1
+    if len(args) < 3:
+        print("Usage: bwbble align [options] <seq_fasta> <reads_fastq> "
+              "<output_aln>")
+        return 1
+    kw: dict = {}
+    engine = "device"
+    batch = None
+    arena = None
+    for o, v in opts:
+        if o == "-M":
+            kw["mm_score"] = int(v)
+        elif o == "-O":
+            kw["gapo_score"] = int(v)
+        elif o == "-E":
+            kw["gape_score"] = int(v)
+        elif o == "-n":
+            kw["max_diff"] = int(v)
+        elif o == "-k":
+            kw["max_diff_seed"] = int(v)
+        elif o == "-o":
+            kw["max_gapo"] = int(v)
+        elif o == "-e":
+            kw["max_gape"] = int(v)
+        elif o == "-l":
+            kw["seed_length"] = int(v)
+        elif o == "-m":
+            kw["max_entries"] = int(v)
+        elif o == "-t":
+            kw["n_threads"] = int(v)
+        elif o == "-S":
+            kw["is_multiref"] = False
+        elif o == "-P":
+            kw["use_precalc"] = True
+        elif o == "--engine":
+            engine = v
+        elif o == "--batch":
+            batch = int(v)
+        elif o == "--arena":
+            arena = int(v)
+    fasta, fastq, alnf = args[0], args[1], args[2]
+    if batch is not None:
+        kw["batch_size"] = batch
+    params = AlnParams(**kw)
+
+    print("**** BWBBLE Read Alignment ****")
+    t = time.time()
+    idx = FMIndex.load(fasta + ".bwt", load_sa=False)
+    print(f"Total BWT loading time: {time.time() - t:.2f} sec")
+    t = time.time()
+    reads = read_fastq(fastq)
+    print(f"Total read loading time: {time.time() - t:.2f} sec")
+
+    precalc = None
+    if params.use_precalc:
+        from bwbble_tpu.align.precalc import load_or_build_precalc
+        t = time.time()
+        precalc = load_or_build_precalc(idx, params, fasta + ".pre",
+                                        engine=engine)
+        print("Total pre-calculated intervals loading time: "
+              f"{time.time() - t:.2f} sec")
+
+    t = time.time()
+    if engine == "gold":
+        alns = align_reads_gold(idx, reads, params, precalc=precalc)
+    else:
+        from bwbble_tpu.engine.device_index import from_fmindex
+        from bwbble_tpu.engine.inexact import EngineConfig
+        from bwbble_tpu.engine.pipeline import align_reads_device
+        cfg = EngineConfig(cap=arena or int(params.arena_cap))
+        alns = align_reads_device(idx, from_fmindex(idx), reads, params,
+                                  cfg, precalc=precalc)
+    print(f"Total read alignment time: {time.time() - t:.2f} sec")
+    write_aln_file(alnf, alns)
+    return 0
+
+
+def cmd_aln2sam(argv: list[str]) -> int:
+    from bwbble_tpu.align.pipeline import alns_to_sam
+    from bwbble_tpu.formats.aln import read_aln_file
+    from bwbble_tpu.formats.fasta import read_ann
+    from bwbble_tpu.formats.fastq import read_fastq
+    from bwbble_tpu.index.fmindex import FMIndex
+
+    try:
+        opts, args = getopt.gnu_getopt(argv, "n:So")
+    except getopt.GetoptError as e:
+        print(e)
+        return 1
+    if len(args) < 4:
+        print("Usage: bwbble aln2sam [-S, -n] <seq_fasta> <reads_fastq> "
+              "<alns_aln> <out_sam>")
+        return 1
+    max_diff = 6
+    for o, v in opts:
+        if o == "-n":
+            max_diff = int(v)
+    fasta, fastq, alnf, samf = args[:4]
+    idx = FMIndex.load(fasta + ".bwt", load_sa=True)
+    ann = read_ann(fasta + ".ann")
+    reads = read_fastq(fastq)
+    per_read = read_aln_file(alnf)
+    sam = alns_to_sam(idx, ann, reads, per_read, max_diff=max_diff)
+    with open(samf, "w") as f:
+        f.write(sam)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        return _usage()
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index":
+        return cmd_index(rest)
+    if cmd == "align":
+        return cmd_align(rest)
+    if cmd == "fasta2ref":
+        return cmd_fasta2ref(rest)
+    if cmd == "aln2sam":
+        return cmd_aln2sam(rest)
+    print(f"Error: Unknown command '{cmd}'")
+    return _usage()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,7 +31,7 @@ BLK = C.OCC_INTERVAL  # 128 positions per block
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["blocks", "occ", "Carr", "sa_samples", "length", "sa0"],
-         meta_fields=[])
+         meta_fields=["tp_axis"])
 @dataclasses.dataclass
 class DeviceIndex:
     blocks: jax.Array      # int8  [num_blocks, 128] BWT codes, zero-padded tail
@@ -40,6 +40,12 @@ class DeviceIndex:
     sa_samples: jax.Array  # int32 [num_sa] SA values every SA_INTERVAL
     length: jax.Array      # int32 scalar: BWT length
     sa0: jax.Array         # int32 scalar: sentinel row
+    # When set (inside shard_map), `blocks`/`occ` hold only this device's
+    # contiguous block range; rank gathers mask misses and psum over this
+    # mesh axis (the TP analog: index range-sharded across chips, rank
+    # queries answered by one all-reduce over ICI).  Checkpoint counts are
+    # global cumulative ranks, so shards answer directly.
+    tp_axis: str | None = None
 
     @property
     def num_blocks(self) -> int:

@@ -129,14 +129,15 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         n_pushed = jnp.ones((B,), jnp.int32)
         no_seed_hit = zb
     else:
+        PK = _int(params, "precalc_len")
         S = seed_L.shape[1]
         slot = jnp.arange(S, dtype=jnp.int32)[None, :]
         live = slot < seed_cnt[:, None]
         arena["L"] = arena["L"].at[:, :S].set(jnp.where(live, seed_L, 0))
         arena["U"] = arena["U"].at[:, :S].set(jnp.where(live, seed_U, -1))
         arena["i"] = arena["i"].at[:, :S].set(
-            jnp.where(live, (lengths - 12)[:, None], 0))
-        arena["plen"] = arena["plen"].at[:, :S].set(jnp.where(live, 12, 0))
+            jnp.where(live, (lengths - PK)[:, None], 0))
+        arena["plen"] = arena["plen"].at[:, :S].set(jnp.where(live, PK, 0))
         arena["open_"] = arena["open_"].at[:, :S].set(live)
         n_pushed = seed_cnt.astype(jnp.int32)
         no_seed_hit = seed_cnt == 0   # no precalc match => no alignment

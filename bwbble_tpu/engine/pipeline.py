@@ -47,10 +47,15 @@ def _reconstruct_path(links_row: np.ndarray, node: int, plen: int,
 
 def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        params: AlnParams, cfg: EngineConfig | None = None,
-                       d_cap: int = 32, stats: dict | None = None
+                       d_cap: int = 32, stats: dict | None = None,
+                       precalc=None, seed_slots: int = 32
                        ) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
+
+    `precalc`: optional align.precalc.PrecalcTable for `-P` seeding
+    (inexact_match.c:50-57); reads whose seed list exceeds `seed_slots`
+    fall back to the host gold engine.
     """
     cfg = cfg or EngineConfig()
     B = int(params.batch_size)
@@ -65,8 +70,20 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         rc[:, :reads.rc.shape[1]] = reads.rc[start:stop]
         lengths = reads.lengths[start:stop].astype(np.int32)
 
+        seeds = None
+        seed_over = np.zeros((nb,), dtype=bool)
+        if precalc is not None:
+            from bwbble_tpu.align.precalc import read_indices
+            ri = read_indices(rc, lengths, k=int(params.precalc_len))
+            sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
+            seeds = (jnp.asarray(sL.astype(np.int32)),
+                     jnp.asarray(sU.astype(np.int32)),
+                     jnp.asarray(scnt))
+
         res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
-                                jnp.asarray(lengths), params, cfg, d_cap)
+                                jnp.asarray(lengths), params, cfg, d_cap,
+                                seeds)
+        dover = dover | seed_over
         n_alns = np.asarray(res["n_alns"])
         overflow = np.asarray(res["overflow"]) | dover
         o = {k: np.asarray(v) for k, v in res.items()
@@ -78,7 +95,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 n_fallback += 1
                 out.append(align_read_gold(
                     idx, reads.seq[start + b], reads.rc[start + b],
-                    int(lengths[b]), params))
+                    int(lengths[b]), params, precalc=precalc))
                 continue
             alns = []
             for k in range(int(n_alns[b])):
@@ -98,7 +115,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     return out
 
 
-def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap):
+def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap, seeds=None):
     seed_len = int(params.seed_length)
     if params.is_multiref:
         D, dov1 = calc_d(didx, seq, lengths, K=d_cap)
@@ -115,6 +132,11 @@ def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap):
     # reads not using a seed keep an all-zero D_seed (calloc semantics,
     # inexact_match.c:36,62-64)
     Ds = jnp.where(jnp.asarray(use_seed)[:, None, None], Ds, 0)
-    res = inexact_search(didx, rc, lengths, D, Ds, params, cfg)
+    if seeds is None:
+        res = inexact_search(didx, rc, lengths, D, Ds, params, cfg)
+    else:
+        res = inexact_search(didx, rc, lengths, D, Ds, params, cfg,
+                             seed_L=seeds[0], seed_U=seeds[1],
+                             seed_cnt=seeds[2])
     dover = np.asarray(dov1) | (np.asarray(dov2) & use_seed)
     return res, dover

@@ -32,6 +32,23 @@ for _j in C.SKIPPED_ORDERS:
     _SKIP_MASK[_j] = True
 
 
+def _take_rows(didx: DeviceIndex, arr: jax.Array, k: jax.Array) -> jax.Array:
+    """Gather rows of a [num_blocks, W] plane by global block index.
+
+    On a TP-sharded index each device holds a contiguous block range; rows
+    outside the local range contribute zeros and one psum over the tp axis
+    reconstructs the full gather (exactly one shard owns each row)."""
+    if didx.tp_axis is None:
+        return jnp.take(arr, k, axis=0)
+    nloc = arr.shape[0]
+    base = jax.lax.axis_index(didx.tp_axis).astype(jnp.int32) * nloc
+    lk = k - base
+    mine = (lk >= 0) & (lk < nloc)
+    rows = jnp.take(arr, jnp.clip(lk, 0, nloc - 1), axis=0)
+    rows = jnp.where(mine[:, None], rows, 0)
+    return jax.lax.psum(rows, didx.tp_axis)
+
+
 def _gather_block(didx: DeviceIndex, i: jax.Array):
     """Clamp i into the normal-path domain and fetch (block, checkpoint row,
     in-block offset, first char)."""
@@ -39,8 +56,8 @@ def _gather_block(didx: DeviceIndex, i: jax.Array):
     i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
     k = i_c // BLK
     off = i_c - k * BLK
-    blk = jnp.take(didx.blocks, k, axis=0).astype(jnp.int32)   # [B, 128]
-    ck = jnp.take(didx.occ, k, axis=0)                         # [B, 16]
+    blk = _take_rows(didx, didx.blocks, k).astype(jnp.int32)   # [B, 128]
+    ck = _take_rows(didx, didx.occ, k)                         # [B, 16]
     first = blk[:, 0]
     return blk, ck, off, first
 
@@ -118,7 +135,8 @@ def bwt_char(didx: DeviceIndex, i: jax.Array) -> jax.Array:
     i = i.astype(jnp.int32)
     k = i // BLK
     off = i - k * BLK
-    return didx.blocks[k, off].astype(jnp.int32)
+    rows = _take_rows(didx, didx.blocks, k).astype(jnp.int32)
+    return jnp.take_along_axis(rows, off[:, None], axis=1)[:, 0]
 
 
 def inv_psi(didx: DeviceIndex, i: jax.Array) -> jax.Array:

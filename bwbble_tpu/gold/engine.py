@@ -223,7 +223,7 @@ def inexact_match(idx: FMIndex, read: np.ndarray, read_len: int,
     if precalc_intvs is not None:
         if not precalc_intvs:
             return alns
-        k = 12  # PRECALC_INTERVAL_LENGTH (align.h:31)
+        k = p.precalc_len  # PRECALC_INTERVAL_LENGTH (align.h:31)
         for L, U in precalc_intvs:
             heap.push(Entry(i=read_len - k, L=L, U=U, num_mm=0, num_gapo=0,
                             num_gape=0, state=STATE_M, num_snps=0, score=0,
@@ -400,10 +400,9 @@ def _add_alignment(alns: list[Aln], e: Entry, L: int, U: int, score: int,
 
 # --------------------------------------------------------------- read2index
 
-def read2index(read: np.ndarray, read_len: int) -> int:
-    """12-mer table index of the read's last 12 bases; -1 if any N
+def read2index(read: np.ndarray, read_len: int, k: int = 12) -> int:
+    """k-mer table index of the read's last k bases; -1 if any N
     (read2index, align.c:174-185)."""
-    k = 12
     index = 0
     for i in range(read_len - k, read_len):
         b = int(read[i])
