@@ -203,6 +203,37 @@ def cmd_aln2sam(argv: list[str]) -> int:
     return 0
 
 
+def cmd_eval(argv: list[str]) -> int:
+    """Simulation-truth evaluation (eval_alns, align.c:655-722; not exposed
+    by the reference CLI — a bwbble-tpu extension subcommand)."""
+    from bwbble_tpu.align.evaluate import eval_alns
+    from bwbble_tpu.formats.aln import read_aln_file
+    from bwbble_tpu.formats.fastq import read_fastq
+    from bwbble_tpu.index.fmindex import FMIndex
+
+    try:
+        opts, args = getopt.gnu_getopt(argv, "n:S")
+    except getopt.GetoptError as e:
+        print(e)
+        return 1
+    if len(args) < 3:
+        print("Usage: bwbble eval [-S, -n] <seq_fasta> <reads_fastq> "
+              "<alns_aln>")
+        return 1
+    is_multiref, max_diff = True, 6
+    for o, v in opts:
+        if o == "-S":
+            is_multiref = False
+        elif o == "-n":
+            max_diff = int(v)
+    print("**** BWBBLE Alignment Evaluation ****")
+    idx = FMIndex.load(args[0] + ".bwt", load_sa=True)
+    reads = read_fastq(args[1])
+    eval_alns(idx, reads, read_aln_file(args[2]), is_multiref=is_multiref,
+              max_diff=max_diff)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -216,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_fasta2ref(rest)
     if cmd == "aln2sam":
         return cmd_aln2sam(rest)
+    if cmd == "eval":
+        return cmd_eval(rest)
     print(f"Error: Unknown command '{cmd}'")
     return _usage()
 

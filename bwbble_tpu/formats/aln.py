@@ -52,6 +52,59 @@ def write_aln_file(path: str, per_read_alns: list[list[Aln]]) -> None:
             f.write(encode_alns(alns))
 
 
+def encode_alns_text(alns: list[Aln]) -> bytes:
+    """Text `.aln` record (alns2alnf, align.c:332-343): header fields tab-
+    separated, then the path bytes in reverse (disk) order, each raw state
+    byte followed by a space."""
+    out = [f"{len(alns)}\n".encode()]
+    for a in alns:
+        out.append(f"{a.score}\t{a.L}\t{a.U}\t{a.num_mm}\t{a.num_gapo}\t"
+                   f"{a.num_gape}\t{a.aln_length}\t".encode())
+        path = a.path[:a.aln_length]
+        out.append(b" ".join(bytes([s]) for s in reversed(path)))
+        if path:
+            out.append(b" ")
+        out.append(b"\n")
+    return b"".join(out)
+
+
+def write_aln_text_file(path: str, per_read_alns: list[list[Aln]]) -> None:
+    with open(path, "wb") as f:
+        for alns in per_read_alns:
+            f.write(encode_alns_text(alns))
+
+
+def read_aln_text_file(path: str) -> list[list[Aln]]:
+    """Decode the text format (alnsf2alns, align.c:391-430); paths are
+    returned in disk order like the binary reader."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    out: list[list[Aln]] = []
+    while pos < n:
+        nl = data.find(b"\n", pos)
+        num = int(data[pos:nl])
+        pos = nl + 1
+        alns: list[Aln] = []
+        for _ in range(num):
+            fields = []
+            for _f in range(7):
+                tab = data.find(b"\t", pos)
+                fields.append(int(data[pos:tab]))
+                pos = tab + 1
+            score, L, U, mm, go, ge, alen = fields
+            path = bytes(data[pos + 2 * j] for j in range(alen))
+            pos += 2 * alen
+            if pos < n and data[pos:pos + 1] == b"\n":
+                pos += 1
+            alns.append(Aln(score=score, L=L, U=U, num_mm=mm, num_gapo=go,
+                            num_gape=ge, num_snps=0, aln_length=alen,
+                            path=path))
+        out.append(alns)
+    return out
+
+
 def read_aln_file(path: str) -> list[list[Aln]]:
     """Decode a `.aln` file.  Returned Aln.path is in *disk order* (reversed
     search path), matching alnsf2alns_bin."""
