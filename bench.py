@@ -65,7 +65,7 @@ def main():
 
     didx = from_fmindex(idx)
     params = AlnParams(max_diff=4, batch_size=2048)
-    cfg = EngineConfig(cap=8192, acap=64, kx=16, max_iters=500_000)
+    cfg = EngineConfig(cap=32768, acap=64, kx=16, max_iters=500_000)
 
     # warm-up / compile on the first batch shape
     from bwbble_tpu.formats.fastq import Reads

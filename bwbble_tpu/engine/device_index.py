@@ -30,17 +30,23 @@ BLK = C.OCC_INTERVAL  # 128 positions per block
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["blocks", "occ", "Carr", "sa_samples", "length", "sa0"],
+         data_fields=["planes", "occ", "Carr", "sa_samples",
+                      "length", "sa0"],
          meta_fields=["tp_axis"])
 @dataclasses.dataclass
 class DeviceIndex:
-    blocks: jax.Array      # int8  [num_blocks, 128] BWT codes, zero-padded tail
+    # Bit-plane BWT for popcount ranks: planes[k, 4*t + w] holds bit t of the
+    # codes at positions w*32 .. w*32+31 of block k (LSB-first within the
+    # word).  One 16-word gather + 64 popcounts answers a full 16-char rank —
+    # ~10x less VPU work and half the HBM traffic of an int8 one-hot scan,
+    # and 0.5 byte/position instead of the host layout's 1 byte.
+    planes: jax.Array      # int32 [num_blocks, 16]
     occ: jax.Array         # int32 [num_blocks, 16] checkpoint ranks
     Carr: jax.Array        # int32 [17] prefix counts
     sa_samples: jax.Array  # int32 [num_sa] SA values every SA_INTERVAL
     length: jax.Array      # int32 scalar: BWT length
     sa0: jax.Array         # int32 scalar: sentinel row
-    # When set (inside shard_map), `blocks`/`occ` hold only this device's
+    # When set (inside shard_map), `planes`/`occ` hold only this device's
     # contiguous block range; rank gathers mask misses and psum over this
     # mesh axis (the TP analog: index range-sharded across chips, rank
     # queries answered by one all-reduce over ICI).  Checkpoint counts are
@@ -49,7 +55,19 @@ class DeviceIndex:
 
     @property
     def num_blocks(self) -> int:
-        return self.blocks.shape[0]
+        return self.planes.shape[0]
+
+
+def build_planes(blocks: np.ndarray) -> np.ndarray:
+    """Pack int8 code blocks [NB, 128] into bit planes [NB, 16] int32."""
+    nb = blocks.shape[0]
+    codes = blocks.astype(np.uint32).reshape(nb, 4, 32)   # [NB, word, bit pos]
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, None, :]
+    planes = np.zeros((nb, 4, 4), dtype=np.uint32)        # [NB, bit t, word w]
+    for t in range(4):
+        bit = (codes >> np.uint32(t)) & np.uint32(1)
+        planes[:, t, :] = (bit * weights).sum(axis=2, dtype=np.uint32)
+    return planes.reshape(nb, 16).view(np.int32)
 
 
 def from_fmindex(idx: FMIndex) -> DeviceIndex:
@@ -62,7 +80,7 @@ def from_fmindex(idx: FMIndex) -> DeviceIndex:
     flat = blocks.reshape(-1)
     flat[:idx.length] = idx.bwt
     return DeviceIndex(
-        blocks=jnp.asarray(blocks),
+        planes=jnp.asarray(build_planes(blocks)),
         occ=jnp.asarray(idx.occ.astype(np.int32)),
         Carr=jnp.asarray(idx.Carr.astype(np.int32)),
         sa_samples=jnp.asarray(idx.sa.astype(np.int32)),

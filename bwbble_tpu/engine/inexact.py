@@ -1,25 +1,34 @@
 """Lockstep inexact search engine (the reference's core algorithm on TPU).
 
 Redesign of the score-bucketed best-first DFS (inexact_match,
-inexact_match.c:256-506) for SIMD execution over a read batch:
+inexact_match.c:256-506) for SIMD execution over a read batch.  The data
+structures are chosen so the hot loop contains NO scatter ops (XLA scatters
+serialize on TPU) and no full-arena scans:
 
-- The per-read heap becomes an **append-only arena** of search nodes in HBM
-  ([B, CAP] struct-of-arrays).  Popping "last entry of the lowest-score
-  bucket" (heap_pop, inexact_match.c:594-610) is exactly an argmin over open
-  nodes of key = score * (CAP+1) + (CAP-1 - push_index): minimal score, then
-  most recent push.  This reproduces the reference's exploration order
-  without maintaining buckets.
-- Alignment paths are never copied on push (the reference memcpy's up to
-  256 bytes per push, inexact_match.c:578-583); each node stores its parent
-  index and state, and paths are reconstructed host-side by walking parent
-  chains of reported alignments only.
-- Each global step, every active lane either (a) pops + prunes + expands one
-  node — two 16-char rank queries and one batched 31-candidate push — or
-  (b) advances its in-flight exact-completion scan (the
+- **Dense frames.**  Each global iteration reserves one frame of NSLOT
+  candidate rows in an append-only arena ([B, CAP] struct-of-arrays); slot s
+  of the frame always holds expansion candidate s, valid or not, so every
+  write is a `dynamic_update_slice` at a lane-uniform offset.  Node ids are
+  therefore identical across lanes.  The 8 three-base IUPAC slots that quirk
+  Q1 makes permanently empty (bwt.c:698-734) are dropped statically:
+  NSLOT = 1 + 2*11 (multiref) or 1 + 2*4 (single-genome).
+- **Score-bucket stacks.**  The reference heap (score buckets, LIFO within a
+  bucket, pop = tail of best bucket; inexact_match.c:510-610) maps exactly
+  onto per-lane bucket heads [B, NUM_BUCKETS] plus a per-node `prev` link:
+  push = one [B, NUM_BUCKETS] select + a gather, pop = argmax over ~65
+  occupied flags + one gather.  Exploration order is bit-identical.
+- **Packed node words.**  A node is 5 int32s: L, U, meta1
+  (i|mm|go|ge|state|plen), meta2 (snps | prev+1 << 8), parent.  Scores are
+  recomputed from meta1 (3 multiplies) instead of stored.
+- **Device path reconstruction.**  After the loop, parent chains of the
+  reported alignments are walked on-device into reverse-order state buffers,
+  so only O(B * ACAP * Lmax) bytes return to the host (not the arena).
+- Per-lane state machine: each iteration a lane either pops+expands one DFS
+  node, or advances its in-flight exact-completion scan (the
   exact_match_bounded call of inexact_match.c:345-375) by one character.
-  Lanes run until all drain; capacity overflow (arena/alignments/intervals)
-  flags the lane for host-gold fallback, so results remain byte-exact at any
-  capacity setting.
+  Frame rows are consumed only on iterations where some lane popped.
+  Capacity overflow (frames/alignments/intervals) flags the lane for
+  host-gold fallback, so results remain byte-exact at any capacity setting.
 
 Indices are int32 (single-shard genomes < 2^31 positions).
 """
@@ -45,27 +54,40 @@ _MATCH = np.asarray(C.MATCH_MATRIX, dtype=np.int32)       # [5, 16]
 _IS_SNP = np.asarray(C.IS_SNP, dtype=np.int32)
 _GRAY4 = np.asarray(C.NT4_GRAY, dtype=np.int32)
 
+# meta1 bit layout: i(8) | mm(5) | go(3) | ge(4) | st(2) | plen(9)
+_SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
+
+
+def _pack1(i, mm, go, ge, st, plen):
+    return (i | (mm << _SH_MM) | (go << _SH_GO) | (ge << _SH_GE)
+            | (st << _SH_ST) | (plen << _SH_PLEN))
+
+
+def _unpack1(m):
+    return (m & 0xFF, (m >> _SH_MM) & 0x1F, (m >> _SH_GO) & 0x7,
+            (m >> _SH_GE) & 0xF, (m >> _SH_ST) & 0x3, (m >> _SH_PLEN) & 0x1FF)
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    cap: int = 2048          # arena nodes per lane
-    acap: int = 64           # reported alignments per lane
-    kx: int = 16             # exact-completion interval slots per lane
+    cap: int = 16384          # arena rows per lane (bounds DFS pops)
+    acap: int = 32            # reported alignments per lane
+    kx: int = 16              # exact-completion interval slots per lane
     max_iters: int = 200_000  # lockstep safety bound
+    pathcap: int = 0          # reported path length bound (0 => Lmax + 32)
 
 
 def _int(p, name):
     return int(getattr(p, name))
 
 
-@partial(jax.jit, static_argnames=("params", "cfg", "trace"))
+@partial(jax.jit, static_argnames=("params", "cfg"))
 def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
                    D: jax.Array, D_seed: jax.Array,
                    params: AlnParams, cfg: EngineConfig,
                    seed_L: jax.Array | None = None,
                    seed_U: jax.Array | None = None,
-                   seed_cnt: jax.Array | None = None,
-                   trace: int = 0):
+                   seed_cnt: jax.Array | None = None):
     """Run the batched search.
 
     Args:
@@ -74,12 +96,13 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
       lengths:   int32 [B].
       D, D_seed: int32 [B, *, 2] lower bounds from engine.dbound.
       seed_*:    optional precalc SA intervals per lane ([B, S] plus count);
-                 when given, lanes start from those entries with a 12-long
+                 when given, lanes start from those entries with a PK-long
                  all-match path (inexact_match.c:269-282).
     Returns a dict of result arrays (see the `out` construction below).
     """
     B, Lmax = rc.shape
-    CAP, ACAP, KX = cfg.cap, cfg.acap, cfg.kx
+    ACAP, KX = cfg.acap, cfg.kx
+    PATHCAP = cfg.pathcap or (Lmax + 32)
     rc = rc.astype(jnp.int32)
     lengths = lengths.astype(jnp.int32)
 
@@ -95,51 +118,63 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     p_noindel = _int(params, "no_indel_length")
     p_maxentries = _int(params, "max_entries")
     multiref = bool(params.is_multiref)
-    NJ = 16 if multiref else 5      # rank vector width
-    worst = ((p_maxdiff + 1) * p_mm + (p_maxgapo + 1) * p_go
-             + (p_maxgape + 1) * p_ge)
+    # packing limits (meta1 layout); reads are capped at 255 upstream (Q5)
+    assert p_maxdiff + 1 <= 31 and p_maxgapo + 1 <= 7 and p_maxgape + 1 <= 15
+    assert Lmax <= 255 and PATHCAP <= 511
+
+    if multiref:
+        chars = [j for j in range(1, 16) if j not in C.SKIPPED_ORDERS]
+    else:
+        chars = [1, 2, 3, 4]
+    NC = len(chars)
+    NSLOT = 1 + 2 * NC
+    NROOT = 1 if seed_cnt is None else seed_L.shape[1]
+    CAP = int(cfg.cap)
+    # the last frame is a trash slab: overflow iterations write there (with
+    # nothing linked) instead of clobbering live rows via clamped offsets
+    assert (CAP - NROOT) // NSLOT >= 2, \
+        f"cfg.cap={CAP} too small: need >= {NROOT + 2 * NSLOT} rows"
+    NFRAME = (CAP - NROOT) // NSLOT - 1
+    NB = ((p_maxdiff + 1) * p_mm + (p_maxgapo + 1) * p_go
+          + (p_maxgape + 1) * p_ge)     # score bucket count (heap_init)
+    worst = NB
 
     def score_of(mm, go, ge):
         return mm * p_mm + go * p_go + ge * p_ge
 
-    # ---------------------------------------------------------- initial state
+    col_b = jnp.arange(NB, dtype=jnp.int32)[None, :]        # bucket columns
+    col_a = jnp.arange(ACAP, dtype=jnp.int32)[None, :]      # aln columns
     zi = jnp.zeros((B,), jnp.int32)
     zb = jnp.zeros((B,), bool)
 
-    arena = dict(
-        L=jnp.zeros((B, CAP), jnp.int32),
-        U=jnp.zeros((B, CAP), jnp.int32),
-        i=jnp.zeros((B, CAP), jnp.int32),
-        mm=jnp.zeros((B, CAP), jnp.int32),
-        go=jnp.zeros((B, CAP), jnp.int32),
-        ge=jnp.zeros((B, CAP), jnp.int32),
-        st=jnp.zeros((B, CAP), jnp.int32),
-        snp=jnp.zeros((B, CAP), jnp.int32),
-        score=jnp.zeros((B, CAP), jnp.int32),
-        parent=jnp.full((B, CAP), -1, jnp.int32),
-        plen=jnp.zeros((B, CAP), jnp.int32),
-        open_=jnp.zeros((B, CAP), bool),
-    )
+    # ------------------------------------------------------------ arena init
+    aL = jnp.zeros((B, CAP), jnp.int32)
+    aU = jnp.zeros((B, CAP), jnp.int32)
+    aM1 = jnp.zeros((B, CAP), jnp.int32)
+    aM2 = jnp.zeros((B, CAP), jnp.int32)   # snps | (prev+1) << 8
+    aPar = jnp.full((B, CAP), -1, jnp.int32)
+    head = jnp.full((B, NB), -1, jnp.int32)
 
     if seed_cnt is None:
-        # one root node: full SA range at i = read_len (inexact_match.c:281)
-        arena["U"] = arena["U"].at[:, 0].set(didx.length - 1)
-        arena["i"] = arena["i"].at[:, 0].set(lengths)
-        arena["open_"] = arena["open_"].at[:, 0].set(True)
-        n_pushed = jnp.ones((B,), jnp.int32)
+        aU = aU.at[:, 0].set(didx.length - 1)
+        aM1 = aM1.at[:, 0].set(_pack1(lengths, 0, 0, 0, C.STATE_M, 0))
+        head = head.at[:, 0].set(0)
+        n_open = jnp.ones((B,), jnp.int32)
         no_seed_hit = zb
     else:
         PK = _int(params, "precalc_len")
-        S = seed_L.shape[1]
+        S = NROOT
         slot = jnp.arange(S, dtype=jnp.int32)[None, :]
         live = slot < seed_cnt[:, None]
-        arena["L"] = arena["L"].at[:, :S].set(jnp.where(live, seed_L, 0))
-        arena["U"] = arena["U"].at[:, :S].set(jnp.where(live, seed_U, -1))
-        arena["i"] = arena["i"].at[:, :S].set(
-            jnp.where(live, (lengths - PK)[:, None], 0))
-        arena["plen"] = arena["plen"].at[:, :S].set(jnp.where(live, PK, 0))
-        arena["open_"] = arena["open_"].at[:, :S].set(live)
-        n_pushed = seed_cnt.astype(jnp.int32)
+        aL = aL.at[:, :S].set(jnp.where(live, seed_L.astype(jnp.int32), 0))
+        aU = aU.at[:, :S].set(jnp.where(live, seed_U.astype(jnp.int32), -1))
+        aM1 = aM1.at[:, :S].set(jnp.where(
+            live, _pack1((lengths - PK)[:, None], 0, 0, 0, C.STATE_M, PK), 0))
+        # LIFO chain within bucket 0: slot s links to s-1
+        aM2 = aM2.at[:, :S].set(jnp.where(live, slot << 8, 0))
+        head = head.at[:, 0].set(
+            jnp.where(seed_cnt > 0, seed_cnt - 1, -1))
+        n_open = seed_cnt.astype(jnp.int32)
         no_seed_hit = seed_cnt == 0   # no precalc match => no alignment
 
     # reads with more N's than the budget are discarded up front
@@ -148,9 +183,9 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     discard = (n_count > p_maxdiff) | no_seed_hit
 
     state = dict(
-        arena=arena,
-        n_pushed=n_pushed,
-        n_open=jnp.where(discard, 0, n_pushed),
+        aL=aL, aU=aU, aM1=aM1, aM2=aM2, aPar=aPar, head=head,
+        n_pushed=jnp.full((B,), NROOT, jnp.int32),
+        n_open=jnp.where(discard, 0, n_open),
         mode=jnp.where(discard, MODE_DONE, MODE_DFS),
         best_score=jnp.full((B,), worst, jnp.int32),
         max_diff=jnp.full((B,), p_maxdiff, jnp.int32),
@@ -170,10 +205,8 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         x_j=zi,
         x_node=zi,
         iters=jnp.int32(0),
+        fcnt=jnp.int32(0),      # frames consumed
     )
-    if trace:
-        # debug: per-iteration pop record for lane 0
-        state["trace"] = jnp.full((trace, 10), -9, jnp.int32)
 
     # ------------------------------------------------------------- emissions
 
@@ -182,10 +215,8 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         order, path length = node.plen + extra_m.  Implements the hit /
         exact-completion bookkeeping of inexact_match.c:331-375 and
         add_alignment's gap dedup (align.c:271-298)."""
-        a = st_["arena"]
-        g = lambda f: jnp.take_along_axis(a[f], node[:, None], 1)[:, 0]
-        mm, go, ge = g("mm"), g("go"), g("ge")
-        plen = g("plen")
+        m1 = jnp.take_along_axis(st_["aM1"], node[:, None], 1)[:, 0]
+        _i, mm, go, ge, _st, plen = _unpack1(m1)
         score = score_of(mm, go, ge)
 
         first_hit = lanes & (st_["n_alns"] == 0)
@@ -202,7 +233,6 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         # suboptimal hit with enough best hits already => stop this read
         stop = lanes & ~is_best & (st_["num_best"] > p_maxbest)
 
-        # add alignments slot by slot (KX/1 slots, statically unrolled)
         o_L, o_U = st_["o_L"], st_["o_U"]
         o_score, o_len = st_["o_score"], st_["o_len"]
         o_node, n_alns = st_["o_node"], st_["n_alns"]
@@ -212,31 +242,24 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
             Lv, Uv = Ls[:, s], Us[:, s]
             ok = lanes & ~stop & (s < cnt)
             dup = jnp.any((o_L == Lv[:, None]) & (o_U == Uv[:, None])
-                          & (jnp.arange(ACAP)[None, :] < n_alns[:, None]),
-                          axis=1)
+                          & (col_a < n_alns[:, None]), axis=1)
             ok = ok & ~(dup & (go > 0))
             full = ok & (n_alns >= ACAP)
             ok = ok & ~full
             over = over | full
-            idx = jnp.where(ok, n_alns, ACAP)
-            o_L = o_L.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
-                jnp.where(ok, Lv, o_L[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
-            o_U = o_U.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
-                jnp.where(ok, Uv, o_U[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
-            o_score = o_score.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
-                jnp.where(ok, score, o_score[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
-            o_len = o_len.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
-                jnp.where(ok, add_len, o_len[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
-            o_node = o_node.at[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)].set(
-                jnp.where(ok, node, o_node[jnp.arange(B), jnp.clip(idx, 0, ACAP - 1)]))
+            sel = ok[:, None] & (col_a == n_alns[:, None])
+            o_L = jnp.where(sel, Lv[:, None], o_L)
+            o_U = jnp.where(sel, Uv[:, None], o_U)
+            o_score = jnp.where(sel, score[:, None], o_score)
+            o_len = jnp.where(sel, add_len[:, None], o_len)
+            o_node = jnp.where(sel, node[:, None], o_node)
             n_alns = n_alns + ok.astype(jnp.int32)
 
         st_ = dict(st_)
         st_.update(best_score=best_score, max_diff=max_diff,
                    num_best=num_best, o_L=o_L, o_U=o_U, o_score=o_score,
                    o_len=o_len, o_node=o_node, n_alns=n_alns, overflow=over)
-        mode = jnp.where(stop, MODE_DONE, st_["mode"])
-        st_["mode"] = mode
+        st_["mode"] = jnp.where(stop, MODE_DONE, st_["mode"])
         return st_
 
     # --------------------------------------------------------- exact-scan step
@@ -278,8 +301,8 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         st_.update(x_L=nL, x_U=nU, x_cnt=ncnt, x_j=nj, overflow=over)
         # extra matched chars: the scan consumed (e.i) chars => path extends
         # by e.i implicit matches (inexact_match.c:365)
-        a_i = jnp.take_along_axis(st_["arena"]["i"], st_["x_node"][:, None],
-                                  1)[:, 0]
+        a_i = jnp.take_along_axis(st_["aM1"], st_["x_node"][:, None],
+                                  1)[:, 0] & 0xFF
         st_ = emit_alns(st_, matched, st_["x_node"], nL, nU,
                         jnp.where(matched, ncnt, 0), a_i)
         # finished lanes resume the DFS (unless emit stopped them)
@@ -290,7 +313,6 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     # --------------------------------------------------------------- DFS step
 
     def dfs_step(st_):
-        a = st_["arena"]
         lanes = st_["mode"] == MODE_DFS
 
         drained = lanes & (st_["n_open"] == 0)
@@ -299,27 +321,22 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         st_["mode"] = jnp.where(drained | too_many, MODE_DONE, st_["mode"])
         lanes = st_["mode"] == MODE_DFS
 
-        # pop: min score, then most recent push (heap_pop semantics)
-        key = a["score"] * (CAP + 1) + (CAP - jnp.arange(CAP, dtype=jnp.int32))
-        key = jnp.where(a["open_"], key, jnp.iinfo(jnp.int32).max)
-        node = jnp.argmin(key, axis=1).astype(jnp.int32)
-        a = dict(a)
-        a["open_"] = a["open_"] & ~(lanes[:, None]
-                                    & (jnp.arange(CAP)[None, :] == node[:, None]))
-        st_["arena"] = a
+        # ---- pop: lowest occupied bucket, most recent push (heap_pop)
+        head_ = st_["head"]
+        occ = head_ >= 0
+        bucket = jnp.argmax(occ, axis=1).astype(jnp.int32)
+        node = jnp.take_along_axis(head_, bucket[:, None], 1)[:, 0]
+        node = jnp.where(lanes, node, 0)
+        g = lambda arr: jnp.take_along_axis(arr, node[:, None], 1)[:, 0]
+        eL, eU = g(st_["aL"]), g(st_["aU"])
+        m1, m2 = g(st_["aM1"]), g(st_["aM2"])
+        ei, emm, ego, ege, est, eplen = _unpack1(m1)
+        esnp = m2 & 0xFF
+        prev = (m2 >> 8) - 1
+        escore = bucket
+        st_["head"] = jnp.where(
+            lanes[:, None] & (col_b == bucket[:, None]), prev[:, None], head_)
         st_["n_open"] = st_["n_open"] - lanes.astype(jnp.int32)
-
-        g = lambda f: jnp.take_along_axis(a[f], node[:, None], 1)[:, 0]
-        eL, eU, ei = g("L"), g("U"), g("i")
-        emm, ego, ege = g("mm"), g("go"), g("ge")
-        est, esnp, escore = g("st"), g("snp"), g("score")
-
-        if "trace" in st_:
-            rec = jnp.stack([lanes[0].astype(jnp.int32), node[0], escore[0],
-                             ei[0], eL[0], eU[0], emm[0], ego[0], ege[0],
-                             est[0]])
-            st_["trace"] = st_["trace"].at[
-                jnp.clip(st_["iters"], 0, st_["trace"].shape[0] - 1)].set(rec)
 
         # ---- prune chain (inexact_match.c:309-328)
         stop = lanes & (escore > st_["best_score"] + p_mm)
@@ -395,45 +412,46 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
                                 1)[:, 0]
         c = jnp.clip(c, 0, 4)
 
-        # candidate slots: [insertion] + [deletion j=1..NJ-1] + [mm j=1..NJ-1]
-        NSLOT = 1 + 2 * (NJ - 1)
         is_I = est == C.STATE_I
         is_M = est == C.STATE_M
         ind_ok = allow_diff & allow_indels
 
-        cand = {k: jnp.zeros((B, NSLOT), jnp.int32) for k in
-                ("L", "U", "i", "mm", "go", "ge", "st", "snp")}
+        candL = jnp.zeros((B, NSLOT), jnp.int32)
+        candU = jnp.zeros((B, NSLOT), jnp.int32)
+        candM1 = jnp.zeros((B, NSLOT), jnp.int32)
+        candSc = jnp.zeros((B, NSLOT), jnp.int32)
         valid = jnp.zeros((B, NSLOT), bool)
+        nplen = jnp.minimum(eplen + 1, PATHCAP - 1)
+        path_over = live & (eplen + 1 >= PATHCAP)
 
         # slot 0: insertion (extend if state==I else open if state==M)
         ins_ok = ind_ok & ((is_I & allow_extend) | (is_M & allow_open))
         valid = valid.at[:, 0].set(live & ins_ok)
-        cand["L"] = cand["L"].at[:, 0].set(eL)
-        cand["U"] = cand["U"].at[:, 0].set(eU)
-        cand["i"] = cand["i"].at[:, 0].set(ei - 1)
-        cand["mm"] = cand["mm"].at[:, 0].set(emm)
-        cand["go"] = cand["go"].at[:, 0].set(ego + is_M.astype(jnp.int32))
-        cand["ge"] = cand["ge"].at[:, 0].set(ege + is_I.astype(jnp.int32))
-        cand["st"] = cand["st"].at[:, 0].set(C.STATE_I)
-        cand["snp"] = cand["snp"].at[:, 0].set(esnp)
+        candL = candL.at[:, 0].set(eL)
+        candU = candU.at[:, 0].set(eU)
+        go0 = ego + is_M.astype(jnp.int32)
+        ge0 = ege + is_I.astype(jnp.int32)
+        candM1 = candM1.at[:, 0].set(
+            _pack1(ei - 1, emm, go0, ge0, C.STATE_I, nplen))
+        candSc = candSc.at[:, 0].set(score_of(emm, go0, ge0))
 
         match_row = jnp.asarray(_MATCH)[c]     # [B, 16]
-        for t, j in enumerate(range(1, NJ)):
-            Lj, Uj = Lv[:, j], Uv[:, j]
+        for t, j in enumerate(chars):
+            jj = j if multiref else t + 1      # rank-vector slot
+            Lj, Uj = Lv[:, jj], Uv[:, jj]
             nonempty = Lj <= Uj
             # deletion: consumes a reference char, keeps i
             del_ok = (ind_ok & ~is_I & nonempty
                       & ((is_M & allow_open) | (~is_M & allow_extend)))
             s = 1 + t
             valid = valid.at[:, s].set(live & del_ok)
-            cand["L"] = cand["L"].at[:, s].set(Lj)
-            cand["U"] = cand["U"].at[:, s].set(Uj)
-            cand["i"] = cand["i"].at[:, s].set(ei)
-            cand["mm"] = cand["mm"].at[:, s].set(emm)
-            cand["go"] = cand["go"].at[:, s].set(ego + is_M.astype(jnp.int32))
-            cand["ge"] = cand["ge"].at[:, s].set(ege + (~is_M).astype(jnp.int32))
-            cand["st"] = cand["st"].at[:, s].set(C.STATE_D)
-            cand["snp"] = cand["snp"].at[:, s].set(esnp)
+            candL = candL.at[:, s].set(Lj)
+            candU = candU.at[:, s].set(Uj)
+            god = ego + is_M.astype(jnp.int32)
+            ged = ege + (~is_M).astype(jnp.int32)
+            candM1 = candM1.at[:, s].set(
+                _pack1(ei, emm, god, ged, C.STATE_D, nplen))
+            candSc = candSc.at[:, s].set(score_of(emm, god, ged))
 
             # match/mismatch (or exact-only continuation when mm suppressed)
             if multiref:
@@ -447,46 +465,58 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
             mm_branch = allow_diff & allow_mm
             ok_mm = mm_branch & nonempty
             ok_ex = ~mm_branch & (c < 4) & member & nonempty
-            s = NJ + t
+            s = 1 + NC + t
             valid = valid.at[:, s].set(live & (ok_mm | ok_ex))
-            cand["L"] = cand["L"].at[:, s].set(Lj)
-            cand["U"] = cand["U"].at[:, s].set(Uj)
-            cand["i"] = cand["i"].at[:, s].set(ei - 1)
-            cand["mm"] = cand["mm"].at[:, s].set(
-                emm + jnp.where(ok_mm & ~is_match, 1, 0))
-            cand["go"] = cand["go"].at[:, s].set(ego)
-            cand["ge"] = cand["ge"].at[:, s].set(ege)
-            cand["st"] = cand["st"].at[:, s].set(C.STATE_M)
-            cand["snp"] = cand["snp"].at[:, s].set(esnp + snp_add)
+            candL = candL.at[:, s].set(Lj)
+            candU = candU.at[:, s].set(Uj)
+            mmn = emm + jnp.where(ok_mm & ~is_match, 1, 0)
+            candM1 = candM1.at[:, s].set(
+                _pack1(ei - 1, mmn, ego, ege, C.STATE_M, nplen))
+            candSc = candSc.at[:, s].set(score_of(mmn, ego, ege))
 
-        # batched multi-push preserving slot order
-        npush = jnp.cumsum(valid.astype(jnp.int32), axis=1)
-        total = npush[:, -1]
-        slot_pos = st_["n_pushed"][:, None] + npush - 1
-        over = st_["overflow"] | (st_["n_pushed"] + total > CAP)
-        st_["overflow"] = over
-        st_["mode"] = jnp.where(over & (st_["mode"] == MODE_DFS),
-                                MODE_DONE, st_["mode"])
-        write = valid & ~over[:, None]
-        tgt = jnp.where(write, slot_pos, CAP)   # CAP => dropped
-        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, NSLOT))
+        # snp counts (meta2 low byte)
+        candSnp = jnp.broadcast_to(esnp[:, None], (B, NSLOT))
+        if multiref:
+            snp_vec = np.zeros(NSLOT, dtype=np.int32)
+            for t, j in enumerate(chars):
+                snp_vec[1 + NC + t] = int(_IS_SNP[j])
+            candSnp = (candSnp + jnp.asarray(snp_vec)[None, :]) & 0xFF
 
-        a = dict(st_["arena"])
-        scores = score_of(cand["mm"], cand["go"], cand["ge"])
-        for f, v in (("L", cand["L"]), ("U", cand["U"]), ("i", cand["i"]),
-                     ("mm", cand["mm"]), ("go", cand["go"]),
-                     ("ge", cand["ge"]), ("st", cand["st"]),
-                     ("snp", cand["snp"]), ("score", scores),
-                     ("parent", jnp.broadcast_to(node[:, None], (B, NSLOT))),
-                     ("plen", jnp.broadcast_to(
-                         (g("plen") + 1)[:, None], (B, NSLOT)))):
-            a[f] = a[f].at[rows, tgt].set(v, mode="drop")
-        a["open_"] = a["open_"].at[rows, tgt].set(write, mode="drop")
-        st_["arena"] = a
-        # `valid` already carries the live-lane mask, so total is 0 elsewhere
-        add = jnp.where(over, 0, total)
-        st_["n_pushed"] = st_["n_pushed"] + add
-        st_["n_open"] = st_["n_open"] + add
+        # ---- frame write at lane-uniform offset (no scatter)
+        any_pop = jnp.any(lanes)
+        base = NROOT + jnp.minimum(st_["fcnt"], NFRAME) * NSLOT
+        frame_over = st_["fcnt"] >= NFRAME
+        over_lane = (st_["overflow"] | path_over
+                     | (lanes & frame_over))
+        st_["overflow"] = over_lane
+        st_["mode"] = jnp.where(lanes & frame_over, MODE_DONE, st_["mode"])
+        valid = valid & ~frame_over
+
+        # link candidates into bucket stacks slot by slot (LIFO order)
+        head2 = st_["head"]
+        total = jnp.sum(valid, axis=1, dtype=jnp.int32)
+        prevs = jnp.zeros((B, NSLOT), jnp.int32)
+        for s in range(NSLOT):
+            nid = base + s
+            bsel = jnp.clip(candSc[:, s], 0, NB - 1)
+            prevs = prevs.at[:, s].set(
+                jnp.take_along_axis(head2, bsel[:, None], 1)[:, 0])
+            upd = valid[:, s][:, None] & (col_b == bsel[:, None])
+            head2 = jnp.where(upd, nid, head2)
+        st_["head"] = head2
+        candM2 = candSnp | ((prevs + 1) << 8)
+        candPar = jnp.broadcast_to(node[:, None], (B, NSLOT))
+        # invalid slots still occupy rows; mark them closed via prev=-1 and
+        # they are simply never linked
+        dus = lambda a, v: jax.lax.dynamic_update_slice(a, v, (0, base))
+        st_["aL"] = dus(st_["aL"], candL)
+        st_["aU"] = dus(st_["aU"], candU)
+        st_["aM1"] = dus(st_["aM1"], candM1)
+        st_["aM2"] = dus(st_["aM2"], candM2)
+        st_["aPar"] = dus(st_["aPar"], candPar)
+        st_["fcnt"] = st_["fcnt"] + any_pop.astype(jnp.int32)
+        st_["n_pushed"] = st_["n_pushed"] + total
+        st_["n_open"] = st_["n_open"] + total
         return st_
 
     # ------------------------------------------------------------- main loop
@@ -504,23 +534,40 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         return st_
 
     st = jax.lax.while_loop(cond, body, state)
-
     timeout = st["mode"] != MODE_DONE
-    a = st["arena"]
-    extra = {"trace": st["trace"]} if trace else {}
+
+    # ---- on-device path reconstruction for reported alignments:
+    # walk parent chains, writing states in reverse push order.
+    o_node = st["o_node"]                           # [B, ACAP]
+    flat_node = o_node.reshape(-1)
+    rows = jnp.repeat(jnp.arange(B, dtype=jnp.int32), ACAP)
+
+    def walk(t, carry):
+        cur, paths = carry
+        m1 = st["aM1"][rows, jnp.clip(cur, 0, CAP - 1)]
+        par = st["aPar"][rows, jnp.clip(cur, 0, CAP - 1)]
+        alive = (cur >= 0) & (par >= 0)   # roots carry no appended state
+        stv = jnp.where(alive, (m1 >> _SH_ST) & 3, 0).astype(jnp.int8)
+        paths = jax.lax.dynamic_update_slice(
+            paths, stv[:, None], (0, t))
+        return (jnp.where(alive, par, -1), paths)
+
+    _, paths = jax.lax.fori_loop(
+        0, PATHCAP, lambda t, c: walk(t, c),
+        (flat_node, jnp.zeros((B * ACAP, PATHCAP), jnp.int8)))
+
+    m1o = jnp.take_along_axis(st["aM1"], o_node, 1)
     return dict(
-        **extra,
         n_alns=st["n_alns"],
         o_L=st["o_L"], o_U=st["o_U"], o_score=st["o_score"],
-        o_len=st["o_len"], o_node=st["o_node"],
-        o_mm=jnp.take_along_axis(a["mm"], st["o_node"], 1),
-        o_go=jnp.take_along_axis(a["go"], st["o_node"], 1),
-        o_ge=jnp.take_along_axis(a["ge"], st["o_node"], 1),
-        o_snp=jnp.take_along_axis(a["snp"], st["o_node"], 1),
-        o_plen=jnp.take_along_axis(a["plen"], st["o_node"], 1),
+        o_len=st["o_len"],
+        o_mm=(m1o >> _SH_MM) & 0x1F,
+        o_go=(m1o >> _SH_GO) & 0x7,
+        o_ge=(m1o >> _SH_GE) & 0xF,
+        o_snp=jnp.take_along_axis(st["aM2"], o_node, 1) & 0xFF,
+        o_plen=(m1o >> _SH_PLEN) & 0x1FF,
+        o_path_rev=paths.reshape(B, ACAP, PATHCAP),
         overflow=st["overflow"] | timeout,
-        # packed parent/state links for host path reconstruction
-        links=a["parent"] * 4 + a["st"],
         iters=st["iters"],
         n_pushed=st["n_pushed"],
     )

@@ -68,34 +68,35 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
 def merge_compact(candL: jax.Array, candU: jax.Array, valid: jax.Array,
                   K: int):
     """Order-preserving compaction of valid candidates with adjoining-interval
-    merge, returning at most K merged intervals per lane."""
+    merge, returning at most K merged intervals per lane.
+
+    Scatter-free (XLA scatters/segment ops serialize on TPU): the previous
+    valid candidate's U comes from a cummax-indexed gather, merge-chain heads
+    are flagged in place, and the K outputs are one-hot reductions over the
+    M candidate slots — all dense VPU work.
+    """
     B, M = candL.shape
-    # stable compaction: valid candidates to the front, order preserved
-    order = jnp.argsort(~valid, axis=1, stable=True)
-    Lc = jnp.take_along_axis(candL, order, axis=1)
-    Uc = jnp.take_along_axis(candU, order, axis=1)
-    vc = jnp.take_along_axis(valid, order, axis=1)
+    pos = jnp.arange(M, dtype=jnp.int32)[None, :]
+    # index of the previous valid slot (exclusive), -1 if none
+    iv = jnp.where(valid, pos, -1)
+    lastv = jax.lax.cummax(iv, axis=1)
+    prev_idx = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), lastv[:, :-1]], axis=1)
+    prevU = jnp.where(
+        prev_idx >= 0,
+        jnp.take_along_axis(candU, jnp.clip(prev_idx, 0, M - 1), axis=1),
+        -2)
+    head = valid & (candL != prevU + 1)
+    gid = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
+    newcnt = jnp.max(jnp.where(valid, gid + 1, 0), axis=1)
 
-    prevU = jnp.concatenate(
-        [jnp.full((B, 1), -2, dtype=Uc.dtype), Uc[:, :-1]], axis=1)
-    pos = jnp.arange(M, dtype=jnp.int32)
-    head = vc & ((pos[None, :] == 0) | (Lc != prevU + 1))
-    gid = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1     # [-1 .. K*7)
-    newcnt = jnp.where(vc, gid + 1, 0).max(axis=1, initial=0)
-
-    # segmented reduce over contiguous merge chains
-    seg_cap = K + 1
-    gid_c = jnp.clip(gid, 0, seg_cap - 1)
-    flat_gid = (jnp.arange(B, dtype=jnp.int32)[:, None] * seg_cap + gid_c)
-    big = jnp.iinfo(jnp.int32).max
-    Lmin = jax.ops.segment_min(
-        jnp.where(vc, Lc, big).reshape(-1), flat_gid.reshape(-1),
-        num_segments=B * seg_cap, indices_are_sorted=True)
-    Umax = jax.ops.segment_max(
-        jnp.where(vc, Uc, -1).reshape(-1), flat_gid.reshape(-1),
-        num_segments=B * seg_cap, indices_are_sorted=True)
-    Lmin = Lmin.reshape(B, seg_cap)[:, :K]
-    Umax = Umax.reshape(B, seg_cap)[:, :K]
+    # one-hot reduction over merge chains: L of the chain head, max U in chain
+    g = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    is_g = gid[:, :, None] == g                               # [B, M, K]
+    Lmin = jnp.sum(jnp.where(is_g & head[:, :, None], candL[:, :, None], 0),
+                   axis=1)
+    Umax = jnp.max(jnp.where(is_g & valid[:, :, None], candU[:, :, None], -1),
+                   axis=1)
 
     overflow = newcnt > K
     newcnt = jnp.minimum(newcnt, K)

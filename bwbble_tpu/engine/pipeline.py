@@ -19,27 +19,15 @@ from bwbble_tpu.gold.engine import Aln
 from bwbble_tpu.index.fmindex import FMIndex
 
 
-def _reconstruct_path(links_row: np.ndarray, node: int, plen: int,
-                      out_len: int) -> bytes:
-    """Rebuild a push-order state path from parent links.
-
-    Each arena node packs parent*4 + state; roots have parent -1.  The chain
-    from `node` up yields states in reverse push order; the root's implicit
-    all-match prefix (plen minus chain length zeros) and the exact-completion
-    tail (out_len - plen zeros) are match states (STATE_M == 0).
-    """
-    states = []
-    cur = node
-    while True:
-        link = int(links_row[cur])
-        parent, state = link >> 2, link & 3
-        if parent < 0:
-            break          # root nodes carry no appended state
-        states.append(state)
-        cur = parent
-    chain = bytes(reversed(states))
-    prefix = bytes(plen - len(chain))
-    path = prefix + chain
+def _reconstruct_path(rev_row: np.ndarray, plen: int, out_len: int,
+                      root_plen: int) -> bytes:
+    """Rebuild a push-order state path from the device's reverse-order walk
+    buffer.  rev_row[t] is the state of the t-th ancestor (node first, root
+    excluded); the root's implicit all-match prefix (root_plen zeros) and
+    the exact-completion tail (out_len - plen zeros) are match states
+    (STATE_M == 0)."""
+    chain = bytes(rev_row[:max(plen - root_plen, 0)][::-1])
+    path = bytes(root_plen) + chain
     if out_len > len(path):
         path = path + bytes(out_len - len(path))
     return path[:out_len]
@@ -88,7 +76,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         overflow = np.asarray(res["overflow"]) | dover
         o = {k: np.asarray(v) for k, v in res.items()
              if k.startswith("o_")}
-        links = np.asarray(res["links"])
+        root_plen = int(params.precalc_len) if seeds is not None else 0
 
         for b in range(nb):
             if overflow[b]:
@@ -100,8 +88,9 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             alns = []
             for k in range(int(n_alns[b])):
                 out_len = int(o["o_len"][b, k])
-                path = _reconstruct_path(links[b], int(o["o_node"][b, k]),
-                                         int(o["o_plen"][b, k]), out_len)
+                path = _reconstruct_path(o["o_path_rev"][b, k],
+                                         int(o["o_plen"][b, k]), out_len,
+                                         root_plen)
                 alns.append(Aln(
                     score=int(o["o_score"][b, k]), L=int(o["o_L"][b, k]),
                     U=int(o["o_U"][b, k]), num_mm=int(o["o_mm"][b, k]),

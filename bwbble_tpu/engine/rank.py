@@ -3,8 +3,10 @@
 Each function takes a vector of BWT positions and returns occurrence bounds
 for a whole batch in lockstep — the TPU-native replacement for the
 reference's per-call checkpoint+popcount loops (bwt.c:348-781).  The compute
-shape is: gather one 128-wide int8 block + one 16-wide int32 checkpoint row
-per query, compare/mask/reduce on the VPU.
+shape is: gather one 16-word bit-plane row + one 16-wide int32 checkpoint row
+per query, then count code matches with XNOR-AND + `population_count` on the
+VPU (the reference's nibble-XOR + 65,536-entry LUT, bwt.c:575-600, recast as
+vector bit math; 64 popcounts replace a 128x16 one-hot reduction).
 
 Two 16-char variants exist on purpose:
 - `rank_all_exact`: true counts for every symbol (the per-base O() calls of
@@ -31,6 +33,10 @@ _SKIP_MASK = np.zeros(16, dtype=bool)
 for _j in C.SKIPPED_ORDERS:
     _SKIP_MASK[_j] = True
 
+# bit t of code j, as [16 codes, 4 bits] int32
+_CODE_BITS = np.array([[(j >> t) & 1 for t in range(4)] for j in range(16)],
+                      dtype=np.int32)
+
 
 def _take_rows(didx: DeviceIndex, arr: jax.Array, k: jax.Array) -> jax.Array:
     """Gather rows of a [num_blocks, W] plane by global block index.
@@ -50,33 +56,54 @@ def _take_rows(didx: DeviceIndex, arr: jax.Array, k: jax.Array) -> jax.Array:
 
 
 def _gather_block(didx: DeviceIndex, i: jax.Array):
-    """Clamp i into the normal-path domain and fetch (block, checkpoint row,
-    in-block offset, first char)."""
+    """Clamp i into the normal-path domain and fetch (bit-plane row [B,4,4],
+    checkpoint row [B,16], in-block offset, first char)."""
     len_m1 = didx.length - 1
     i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
     k = i_c // BLK
     off = i_c - k * BLK
-    blk = _take_rows(didx, didx.blocks, k).astype(jnp.int32)   # [B, 128]
-    ck = _take_rows(didx, didx.occ, k)                         # [B, 16]
-    first = blk[:, 0]
-    return blk, ck, off, first
+    pw = _take_rows(didx, didx.planes, k).reshape(-1, 4, 4)  # [B, bit, word]
+    ck = _take_rows(didx, didx.occ, k)                       # [B, 16]
+    first = ((pw[:, 0, 0] & 1) | ((pw[:, 1, 0] & 1) << 1)
+             | ((pw[:, 2, 0] & 1) << 2) | ((pw[:, 3, 0] & 1) << 3))
+    return pw, ck, off, first
 
 
-def _block_counts(blk: jax.Array, off: jax.Array) -> jax.Array:
-    """counts[b, j] = #positions p <= off[b] with blk[b, p] == j."""
-    pos = jnp.arange(BLK, dtype=jnp.int32)
-    mask = pos[None, :] <= off[:, None]                        # [B, 128]
-    sym = jnp.arange(16, dtype=jnp.int32)
-    onehot = (blk[:, :, None] == sym[None, None, :]) & mask[:, :, None]
-    return jnp.sum(onehot, axis=1, dtype=jnp.int32)            # [B, 16]
+def _prefix_masks(off: jax.Array) -> jax.Array:
+    """[B, 4] word masks selecting bit positions 0..off within the block."""
+    nbits = off[:, None] + 1 - 32 * jnp.arange(4, dtype=jnp.int32)[None, :]
+    partial = (1 << jnp.clip(nbits, 0, 31)) - 1
+    return jnp.where(nbits >= 32, -1, jnp.where(nbits <= 0, 0, partial))
+
+
+def _block_counts(pw: jax.Array, off: jax.Array) -> jax.Array:
+    """counts[b, j] = #positions p <= off[b] in the block with code j."""
+    masks = _prefix_masks(off)                               # [B, 4]
+    jb = jnp.asarray(_CODE_BITS)                             # [16, 4]
+    # sel[b, j, t, w] = plane word if bit t of j is 1 else its complement
+    sel = jnp.where(jb[None, :, :, None] == 1,
+                    pw[:, None, :, :], ~pw[:, None, :, :])
+    m = sel[:, :, 0, :] & sel[:, :, 1, :] & sel[:, :, 2, :] & sel[:, :, 3, :]
+    return jnp.sum(jax.lax.population_count(m & masks[:, None, :]),
+                   axis=2, dtype=jnp.int32)                  # [B, 16]
+
+
+def _block_count1(pw: jax.Array, off: jax.Array, c: jax.Array) -> jax.Array:
+    """counts[b] = #positions p <= off[b] with code c[b]."""
+    masks = _prefix_masks(off)                               # [B, 4]
+    cb = jnp.asarray(_CODE_BITS)[c]                          # [B, 4]
+    sel = jnp.where(cb[:, :, None] == 1, pw, ~pw)            # [B, 4, 4]
+    m = sel[:, 0, :] & sel[:, 1, :] & sel[:, 2, :] & sel[:, 3, :]
+    return jnp.sum(jax.lax.population_count(m & masks),
+                   axis=1, dtype=jnp.int32)                  # [B]
 
 
 def _rank_all(didx: DeviceIndex, i: jax.Array, inc: int, dfs: bool
               ) -> jax.Array:
     i = i.astype(jnp.int32)
     len_m1 = didx.length - 1
-    blk, ck, off, first = _gather_block(didx, i)
-    cnt = _block_counts(blk, off)
+    pw, ck, off, first = _gather_block(didx, i)
+    cnt = _block_counts(pw, off)
     sym = jnp.arange(16, dtype=jnp.int32)
     first_dec = (first[:, None] == sym[None, :]).astype(jnp.int32)
     Cv = didx.Carr[:16][None, :]
@@ -118,11 +145,9 @@ def rank1(didx: DeviceIndex, c: jax.Array, i: jax.Array) -> jax.Array:
     c = c.astype(jnp.int32)
     i = i.astype(jnp.int32)
     len_m1 = didx.length - 1
-    blk, ck, off, first = _gather_block(didx, i)
+    pw, ck, off, first = _gather_block(didx, i)
     base = (i // BLK) * BLK
-    pos = jnp.arange(BLK, dtype=jnp.int32)
-    mask = pos[None, :] <= off[:, None]
-    cnt = jnp.sum((blk == c[:, None]) & mask, axis=1, dtype=jnp.int32)
+    cnt = _block_count1(pw, off, c)
     ckc = jnp.take_along_axis(ck, c[:, None], axis=1)[:, 0]
     sentinel = ((c == 0) & (base < didx.sa0) & (didx.sa0 <= i)).astype(jnp.int32)
     normal = ckc + cnt - (first == c).astype(jnp.int32) - sentinel
@@ -135,8 +160,13 @@ def bwt_char(didx: DeviceIndex, i: jax.Array) -> jax.Array:
     i = i.astype(jnp.int32)
     k = i // BLK
     off = i - k * BLK
-    rows = _take_rows(didx, didx.blocks, k).astype(jnp.int32)
-    return jnp.take_along_axis(rows, off[:, None], axis=1)[:, 0]
+    pw = _take_rows(didx, didx.planes, k).reshape(-1, 4, 4)
+    w = off // 32
+    b = off - w * 32
+    bits = jnp.take_along_axis(pw, w[:, None, None], axis=2)[:, :, 0]  # [B,4]
+    bits = (bits >> b[:, None]) & 1
+    return (bits[:, 0] | (bits[:, 1] << 1) | (bits[:, 2] << 2)
+            | (bits[:, 3] << 3))
 
 
 def inv_psi(didx: DeviceIndex, i: jax.Array) -> jax.Array:

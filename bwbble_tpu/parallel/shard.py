@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from bwbble_tpu.align.params import AlnParams
-from bwbble_tpu.engine.device_index import BLK, DeviceIndex
+from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.inexact import EngineConfig, inexact_search
 from bwbble_tpu.engine.dbound import calc_d, calc_d_1to1
 from bwbble_tpu.engine.rank import sa_resolve
@@ -71,20 +71,21 @@ def pad_index_for_tp(didx: DeviceIndex, tp: int) -> DeviceIndex:
     Padding rows are never gathered (positions are clamped to length-1
     before block lookup), so zero-fill is safe.
     """
-    nb = didx.blocks.shape[0]
+    nb = didx.planes.shape[0]
     pad = (-nb) % tp
     if pad == 0:
         return didx
-    blocks = jnp.concatenate(
-        [didx.blocks, jnp.zeros((pad, BLK), didx.blocks.dtype)], axis=0)
+    planes = jnp.concatenate(
+        [didx.planes, jnp.zeros((pad, didx.planes.shape[1]),
+                                didx.planes.dtype)], axis=0)
     occ = jnp.concatenate(
         [didx.occ, jnp.zeros((pad, didx.occ.shape[1]), didx.occ.dtype)],
         axis=0)
-    return dataclasses.replace(didx, blocks=blocks, occ=occ)
+    return dataclasses.replace(didx, planes=planes, occ=occ)
 
 
 def _index_specs() -> DeviceIndex:
-    return DeviceIndex(blocks=P("tp", None), occ=P("tp", None), Carr=P(),
+    return DeviceIndex(planes=P("tp", None), occ=P("tp", None), Carr=P(),
                        sa_samples=P(), length=P(), sa0=P(), tp_axis=None)
 
 
