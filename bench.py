@@ -65,7 +65,7 @@ def main():
 
     didx = from_fmindex(idx)
     params = AlnParams(max_diff=4, batch_size=2048)
-    cfg = EngineConfig(cap=32768, acap=64, kx=16, max_iters=500_000)
+    cfg = EngineConfig(cap=32768, acap=64, kx=4, max_iters=500_000)
 
     # warm-up / compile on the first batch shape
     from bwbble_tpu.formats.fastq import Reads
@@ -73,11 +73,12 @@ def main():
     warm = Reads(names=reads.names[:nb], seq=reads.seq[:nb],
                  rc=reads.rc[:nb], qual=reads.qual[:nb],
                  lengths=reads.lengths[:nb])
-    align_reads_device(idx, didx, warm, params, cfg)
+    align_reads_device(idx, didx, warm, params, cfg, d_cap=16)
 
     stats: dict = {}
     t1 = time.time()
-    alns = align_reads_device(idx, didx, reads, params, cfg, stats=stats)
+    alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
+                              stats=stats)
     dt = time.time() - t1
     reads_per_sec = reads.count / dt
 

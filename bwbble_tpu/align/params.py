@@ -41,7 +41,7 @@ class AlnParams:
                                    # the -P path with small tables
     batch_size: int = 2048         # reads per device batch
     exact_intv_cap: int = 16       # fixed capacity of per-lane SA-interval lists
-    arena_cap: int = 2048          # per-lane search-arena capacity (inexact)
+    arena_cap: int = 32768         # per-lane arena rows (engine frames)
     use_int64: bool = False        # (hi,lo) index pairs for >2^31 genomes
 
     def score(self, num_mm: int, num_gapo: int, num_gape: int) -> int:

@@ -19,7 +19,7 @@ import numpy as np
 from bwbble_tpu import constants as C
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.intervals import expand_step
-from bwbble_tpu.engine.rank import rank1
+from bwbble_tpu.engine.rank import rank1_pair
 
 
 @partial(jax.jit, static_argnames=("K", "max_len"))
@@ -90,8 +90,7 @@ def calc_d_1to1(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
         cr = jnp.take_along_axis(seq, jnp.maximum(r, 0)[:, None], axis=1)[:, 0]
         c = gray[jnp.clip(cr, 0, 4)]
         is_n = c == C.ORDER_N
-        occL = rank1(didx, c, L - 1)
-        occU = jnp.where(L - 1 == U, occL, rank1(didx, c, U))
+        occL, occU = rank1_pair(didx, c, L - 1, U)
         Cc = jnp.take(didx.Carr, c)
         nL = jnp.where(is_n, 0, Cc + occL + 1)
         nU = jnp.where(is_n, didx.length - 1, Cc + occU)

@@ -30,23 +30,25 @@ BLK = C.OCC_INTERVAL  # 128 positions per block
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["planes", "occ", "Carr", "sa_samples",
-                      "length", "sa0"],
+         data_fields=["table", "Carr", "sa_samples", "length", "sa0"],
          meta_fields=["tp_axis"])
 @dataclasses.dataclass
 class DeviceIndex:
-    # Bit-plane BWT for popcount ranks: planes[k, 4*t + w] holds bit t of the
-    # codes at positions w*32 .. w*32+31 of block k (LSB-first within the
-    # word).  One 16-word gather + 64 popcounts answers a full 16-char rank —
-    # ~10x less VPU work and half the HBM traffic of an int8 one-hot scan,
-    # and 0.5 byte/position instead of the host layout's 1 byte.
-    planes: jax.Array      # int32 [num_blocks, 16]
-    occ: jax.Array         # int32 [num_blocks, 16] checkpoint ranks
+    # One fused 128-byte row per BWT block, so a rank query is a single
+    # row gather (TPU gathers are latency-bound; splitting planes and
+    # checkpoints doubled the gather count for nothing):
+    #   cols 0..15  — bit planes: table[k, 4*t + w] holds bit t of the codes
+    #                 at positions w*32 .. w*32+31 of block k (LSB-first).
+    #                 XNOR-AND + population_count answers a 16-char rank with
+    #                 64 popcounts (~10x less VPU work than an int8 one-hot
+    #                 scan, 0.5 B/position).
+    #   cols 16..31 — occurrence-checkpoint counts for the 16 symbols.
+    table: jax.Array       # int32 [num_blocks, 32]
     Carr: jax.Array        # int32 [17] prefix counts
     sa_samples: jax.Array  # int32 [num_sa] SA values every SA_INTERVAL
     length: jax.Array      # int32 scalar: BWT length
     sa0: jax.Array         # int32 scalar: sentinel row
-    # When set (inside shard_map), `planes`/`occ` hold only this device's
+    # When set (inside shard_map), `table` holds only this device's
     # contiguous block range; rank gathers mask misses and psum over this
     # mesh axis (the TP analog: index range-sharded across chips, rank
     # queries answered by one all-reduce over ICI).  Checkpoint counts are
@@ -55,7 +57,7 @@ class DeviceIndex:
 
     @property
     def num_blocks(self) -> int:
-        return self.planes.shape[0]
+        return self.table.shape[0]
 
 
 def build_planes(blocks: np.ndarray) -> np.ndarray:
@@ -79,9 +81,11 @@ def from_fmindex(idx: FMIndex) -> DeviceIndex:
     blocks = np.zeros((num_blocks, BLK), dtype=np.int8)
     flat = blocks.reshape(-1)
     flat[:idx.length] = idx.bwt
+    table = np.concatenate(
+        [build_planes(blocks).view(np.int32),
+         idx.occ.astype(np.int32)], axis=1)
     return DeviceIndex(
-        planes=jnp.asarray(build_planes(blocks)),
-        occ=jnp.asarray(idx.occ.astype(np.int32)),
+        table=jnp.asarray(table),
         Carr=jnp.asarray(idx.Carr.astype(np.int32)),
         sa_samples=jnp.asarray(idx.sa.astype(np.int32)),
         length=jnp.int32(idx.length),

@@ -16,7 +16,7 @@ import numpy as np
 from bwbble_tpu import constants as C
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.intervals import expand_step
-from bwbble_tpu.engine.rank import rank1
+from bwbble_tpu.engine.rank import rank1_pair
 
 
 @partial(jax.jit, static_argnames=("K",))
@@ -70,8 +70,7 @@ def exact_search_1to1(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array):
         cr = jnp.take_along_axis(seq, jnp.maximum(r, 0)[:, None], axis=1)[:, 0]
         is_n = cr > 3
         c = gray[jnp.clip(cr, 0, 4)]
-        occL = rank1(didx, c, L - 1)
-        occU = jnp.where(L - 1 == U, occL, rank1(didx, c, U))
+        occL, occU = rank1_pair(didx, c, L - 1, U)
         Cc = jnp.take(didx.Carr, c)
         nL = Cc + occL + 1
         nU = Cc + occU

@@ -46,7 +46,8 @@ from bwbble_tpu import constants as C
 from bwbble_tpu.align.params import AlnParams
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.intervals import expand_step
-from bwbble_tpu.engine.rank import rank1, rank_actg_dfs, rank_all_dfs
+from bwbble_tpu.engine.rank import (rank1_pair, rank_actg_dfs_pair,
+                                    rank_all_dfs_pair)
 
 MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
 
@@ -79,6 +80,14 @@ class EngineConfig:
 
 def _int(p, name):
     return int(getattr(p, name))
+
+
+def _pick(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[b, idx[b]] for small trailing dims via one-hot reduce (per-element
+    gathers serialize on TPU)."""
+    T = arr.shape[1]
+    cols = jnp.arange(T, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1)
 
 
 @partial(jax.jit, static_argnames=("params", "cfg"))
@@ -267,8 +276,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     def exact_step(st_):
         lanes = st_["mode"] == MODE_EXACT
         j = st_["x_j"]
-        c = jnp.where(lanes & (j >= 0), jnp.take_along_axis(
-            rc, jnp.clip(j, 0, Lmax - 1)[:, None], 1)[:, 0], 4)
+        c = jnp.where(lanes & (j >= 0), _pick(rc, jnp.clip(j, 0, Lmax - 1)), 4)
         if multiref:
             nL, nU, ncnt, _w, ov = expand_step(
                 didx, st_["x_L"], st_["x_U"], st_["x_cnt"], c)
@@ -277,8 +285,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
             is_n = c > 3
             gc = jnp.asarray(_GRAY4)[jnp.clip(c, 0, 4)]
             L0, U0 = st_["x_L"][:, 0], st_["x_U"][:, 0]
-            occL = rank1(didx, gc, L0 - 1)
-            occU = jnp.where(L0 - 1 == U0, occL, rank1(didx, gc, U0))
+            occL, occU = rank1_pair(didx, gc, L0 - 1, U0)
             Cc = jnp.take(didx.Carr, gc)
             L1 = Cc + occL + 1
             U1 = Cc + occU
@@ -345,10 +352,10 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
 
         diff_left = st_["max_diff"] - emm - ego - ege
         cont = diff_left < 0
-        Dnd = lambda arr, idx: jnp.take_along_axis(
-            arr[:, :, 0], jnp.clip(idx, 0, arr.shape[1] - 1)[:, None], 1)[:, 0]
-        Dw = lambda arr, idx: jnp.take_along_axis(
-            arr[:, :, 1], jnp.clip(idx, 0, arr.shape[1] - 1)[:, None], 1)[:, 0]
+        Dnd = lambda arr, idx: _pick(
+            arr[:, :, 0], jnp.clip(idx, 0, arr.shape[1] - 1))
+        Dw = lambda arr, idx: _pick(
+            arr[:, :, 1], jnp.clip(idx, 0, arr.shape[1] - 1))
         cont = cont | ((ei > 0) & (diff_left < Dnd(D, ei - 1)))
         dls = p_maxdiffseed - emm - ego - ege
         seed_index = ei - (lengths - p_seedlen)
@@ -377,11 +384,9 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
 
         # ---- expansion (inexact_match.c:377-504)
         if multiref:
-            Lv = rank_all_dfs(didx, eL - 1, inc=1)
-            Uv = rank_all_dfs(didx, eU, inc=0)
+            Lv, Uv = rank_all_dfs_pair(didx, eL - 1, eU)
         else:
-            Lv = rank_actg_dfs(didx, eL - 1, inc=1)
-            Uv = rank_actg_dfs(didx, eU, inc=0)
+            Lv, Uv = rank_actg_dfs_pair(didx, eL - 1, eU)
 
         allow_diff = jnp.ones((B,), bool)
         allow_mm = jnp.ones((B,), bool)
@@ -408,9 +413,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         allow_open = ego < p_maxgapo
         allow_extend = ege < p_maxgape
 
-        c = jnp.take_along_axis(rc, jnp.clip(ei - 1, 0, Lmax - 1)[:, None],
-                                1)[:, 0]
-        c = jnp.clip(c, 0, 4)
+        c = jnp.clip(_pick(rc, jnp.clip(ei - 1, 0, Lmax - 1)), 0, 4)
 
         is_I = est == C.STATE_I
         is_M = est == C.STATE_M

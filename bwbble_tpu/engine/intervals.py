@@ -25,10 +25,15 @@ import numpy as np
 
 from bwbble_tpu import constants as C
 from bwbble_tpu.engine.device_index import DeviceIndex
-from bwbble_tpu.engine.rank import rank_all_exact
+from bwbble_tpu.engine.rank import rank_all_exact_pair
 
 _NUCL = np.asarray(C.NUCL_BASES, dtype=np.int32)          # [4, 7]
 _NB = C.BASES_PER_NUCLEOTIDE
+# one-hot selection matrices: _NUCL_ONEHOT[c, s, x] = 1 iff NUCL_BASES[c][s]==x
+_NUCL_ONEHOT = np.zeros((4, _NB, 16), dtype=np.int32)
+for _c in range(4):
+    for _s in range(_NB):
+        _NUCL_ONEHOT[_c, _s, int(_NUCL[_c, _s])] = 1
 
 
 def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
@@ -43,14 +48,18 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
     Lanes with c > 3 (N) produce empty lists (exact_match.c:84-86).
     """
     B, K = Ls.shape
-    occL = rank_all_exact(didx, (Ls - 1).reshape(-1), inc=1).reshape(B, K, 16)
-    occU = rank_all_exact(didx, Us.reshape(-1), inc=0).reshape(B, K, 16)
+    occL, occU = rank_all_exact_pair(didx, (Ls - 1).reshape(-1),
+                                     Us.reshape(-1))
+    occL = occL.reshape(B, K, 16)
+    occU = occU.reshape(B, K, 16)
 
+    # select the 7 candidate symbols per lane via a one-hot contraction
+    # (per-element gathers serialize on TPU; this is dense VPU work):
+    # cand[b,k,s] = occ[b,k,base(c[b],s)]
     c_safe = jnp.clip(c, 0, 3)
-    bases = jnp.asarray(_NUCL)[c_safe]                      # [B, 7]
-    bidx = jnp.broadcast_to(bases[:, None, :], (B, K, _NB))
-    candL = jnp.take_along_axis(occL, bidx, axis=2)          # [B, K, 7]
-    candU = jnp.take_along_axis(occU, bidx, axis=2)
+    sel = jnp.asarray(_NUCL_ONEHOT)[c_safe]                 # [B, 7, 16]
+    candL = jnp.einsum("bkx,bsx->bks", occL, sel)           # [B, K, 7]
+    candU = jnp.einsum("bkx,bsx->bks", occU, sel)
 
     slot = jnp.arange(K, dtype=jnp.int32)
     valid = ((slot[None, :, None] < cnt[:, None, None])
@@ -76,27 +85,29 @@ def merge_compact(candL: jax.Array, candU: jax.Array, valid: jax.Array,
     M candidate slots — all dense VPU work.
     """
     B, M = candL.shape
-    pos = jnp.arange(M, dtype=jnp.int32)[None, :]
-    # index of the previous valid slot (exclusive), -1 if none
-    iv = jnp.where(valid, pos, -1)
-    lastv = jax.lax.cummax(iv, axis=1)
-    prev_idx = jnp.concatenate(
-        [jnp.full((B, 1), -1, jnp.int32), lastv[:, :-1]], axis=1)
-    prevU = jnp.where(
-        prev_idx >= 0,
-        jnp.take_along_axis(candU, jnp.clip(prev_idx, 0, M - 1), axis=1),
-        -2)
+    # U of the previous valid slot: a "carry last valid value" scan
+    # (associative select; log2(M) dense passes, no gather)
+    def _carry(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    lastU, _ = jax.lax.associative_scan(
+        _carry, (jnp.where(valid, candU, -2), valid), axis=1)
+    prevU = jnp.concatenate(
+        [jnp.full((B, 1), -2, jnp.int32), lastU[:, :-1]], axis=1)
     head = valid & (candL != prevU + 1)
     gid = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
     newcnt = jnp.max(jnp.where(valid, gid + 1, 0), axis=1)
 
-    # one-hot reduction over merge chains: L of the chain head, max U in chain
-    g = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    is_g = gid[:, :, None] == g                               # [B, M, K]
-    Lmin = jnp.sum(jnp.where(is_g & head[:, :, None], candL[:, :, None], 0),
-                   axis=1)
-    Umax = jnp.max(jnp.where(is_g & valid[:, :, None], candU[:, :, None], -1),
-                   axis=1)
+    # one-hot reduction over merge chains ([B, K, M] — candidate axis last so
+    # the K outputs stay in well-tiled lanes): L of the chain head, max U
+    g = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    is_g = gid[:, None, :] == g                               # [B, K, M]
+    Lmin = jnp.sum(jnp.where(is_g & head[:, None, :], candL[:, None, :], 0),
+                   axis=2)
+    Umax = jnp.max(jnp.where(is_g & valid[:, None, :], candU[:, None, :], -1),
+                   axis=2)
 
     overflow = newcnt > K
     newcnt = jnp.minimum(newcnt, K)

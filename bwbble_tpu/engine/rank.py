@@ -57,13 +57,15 @@ def _take_rows(didx: DeviceIndex, arr: jax.Array, k: jax.Array) -> jax.Array:
 
 def _gather_block(didx: DeviceIndex, i: jax.Array):
     """Clamp i into the normal-path domain and fetch (bit-plane row [B,4,4],
-    checkpoint row [B,16], in-block offset, first char)."""
+    checkpoint row [B,16], in-block offset, first char) with ONE row gather
+    from the fused table."""
     len_m1 = didx.length - 1
     i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
     k = i_c // BLK
     off = i_c - k * BLK
-    pw = _take_rows(didx, didx.planes, k).reshape(-1, 4, 4)  # [B, bit, word]
-    ck = _take_rows(didx, didx.occ, k)                       # [B, 16]
+    rows = _take_rows(didx, didx.table, k)                   # [B, 32]
+    pw = rows[:, :16].reshape(-1, 4, 4)                      # [B, bit, word]
+    ck = rows[:, 16:]                                        # [B, 16]
     first = ((pw[:, 0, 0] & 1) | ((pw[:, 1, 0] & 1) << 1)
              | ((pw[:, 2, 0] & 1) << 2) | ((pw[:, 3, 0] & 1) << 3))
     return pw, ck, off, first
@@ -98,9 +100,13 @@ def _block_count1(pw: jax.Array, off: jax.Array, c: jax.Array) -> jax.Array:
                    axis=1, dtype=jnp.int32)                  # [B]
 
 
-def _rank_all(didx: DeviceIndex, i: jax.Array, inc: int, dfs: bool
+def _rank_all(didx: DeviceIndex, i: jax.Array, inc, dfs: bool
               ) -> jax.Array:
+    """inc may be a scalar or a per-query [B] vector."""
     i = i.astype(jnp.int32)
+    inc = jnp.asarray(inc, jnp.int32)
+    if inc.ndim == 1:
+        inc = inc[:, None]
     len_m1 = didx.length - 1
     pw, ck, off, first = _gather_block(didx, i)
     cnt = _block_counts(pw, off)
@@ -155,12 +161,49 @@ def rank1(didx: DeviceIndex, c: jax.Array, i: jax.Array) -> jax.Array:
     return jnp.where(i == len_m1, high, jnp.where(i < 0, 0, normal))
 
 
+def rank_all_dfs_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
+    """Fused (O_alphabet(L-1)+1, O_alphabet(U)) pair: one gather of 2B rows
+    instead of two B-row calls (the two calls of inexact_match.c:379-385)."""
+    B = iL.shape[0]
+    inc = jnp.concatenate([jnp.ones((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32)])
+    out = _rank_all(didx, jnp.concatenate([iL, iU]), inc, dfs=True)
+    return out[:B], out[B:]
+
+
+def rank_all_exact_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
+    """Fused exact-variant pair (bounds at L-1 with +1, at U with +0)."""
+    B = iL.shape[0]
+    inc = jnp.concatenate([jnp.ones((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32)])
+    out = _rank_all(didx, jnp.concatenate([iL, iU]), inc, dfs=False)
+    return out[:B], out[B:]
+
+
+def rank_actg_dfs_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
+    full_L, full_U = rank_all_exact_pair(didx, iL, iU)
+    gray = jnp.asarray(np.array(C.NT4_GRAY[:4], dtype=np.int32))
+    outL = jnp.zeros((iL.shape[0], 5), dtype=full_L.dtype)
+    outU = jnp.zeros((iU.shape[0], 5), dtype=full_U.dtype)
+    return (outL.at[:, 1:5].set(jnp.take(full_L, gray, axis=1)),
+            outU.at[:, 1:5].set(jnp.take(full_U, gray, axis=1)))
+
+
+def rank1_pair(didx: DeviceIndex, c: jax.Array, iL: jax.Array,
+               iU: jax.Array):
+    """Fused single-char rank at two positions per lane."""
+    cc = jnp.concatenate([c, c])
+    out = rank1(didx, cc, jnp.concatenate([iL, iU]))
+    B = c.shape[0]
+    return out[:B], out[B:]
+
+
 def bwt_char(didx: DeviceIndex, i: jax.Array) -> jax.Array:
     """B(i) per lane (bwt.c:337-345)."""
     i = i.astype(jnp.int32)
     k = i // BLK
     off = i - k * BLK
-    pw = _take_rows(didx, didx.planes, k).reshape(-1, 4, 4)
+    pw = _take_rows(didx, didx.table, k)[:, :16].reshape(-1, 4, 4)
     w = off // 32
     b = off - w * 32
     bits = jnp.take_along_axis(pw, w[:, None, None], axis=2)[:, :, 0]  # [B,4]

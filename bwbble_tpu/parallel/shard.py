@@ -71,21 +71,18 @@ def pad_index_for_tp(didx: DeviceIndex, tp: int) -> DeviceIndex:
     Padding rows are never gathered (positions are clamped to length-1
     before block lookup), so zero-fill is safe.
     """
-    nb = didx.planes.shape[0]
+    nb = didx.table.shape[0]
     pad = (-nb) % tp
     if pad == 0:
         return didx
-    planes = jnp.concatenate(
-        [didx.planes, jnp.zeros((pad, didx.planes.shape[1]),
-                                didx.planes.dtype)], axis=0)
-    occ = jnp.concatenate(
-        [didx.occ, jnp.zeros((pad, didx.occ.shape[1]), didx.occ.dtype)],
-        axis=0)
-    return dataclasses.replace(didx, planes=planes, occ=occ)
+    table = jnp.concatenate(
+        [didx.table, jnp.zeros((pad, didx.table.shape[1]),
+                               didx.table.dtype)], axis=0)
+    return dataclasses.replace(didx, table=table)
 
 
 def _index_specs() -> DeviceIndex:
-    return DeviceIndex(planes=P("tp", None), occ=P("tp", None), Carr=P(),
+    return DeviceIndex(table=P("tp", None), Carr=P(),
                        sa_samples=P(), length=P(), sa0=P(), tp_axis=None)
 
 

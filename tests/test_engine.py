@@ -133,7 +133,7 @@ def test_inexact_engine_parity(world, kwargs):
     params = AlnParams(batch_size=32, **kwargs)
     stats = {}
     dev = align_reads_device(idx, didx, reads, params,
-                             EngineConfig(cap=1024, acap=32, kx=8),
+                             EngineConfig(cap=8192, acap=32, kx=8),
                              d_cap=24, stats=stats)
     gold = align_reads_gold(idx, reads, params)
     assert dev == gold

@@ -21,7 +21,7 @@ from bwbble_tpu.parallel import make_mesh, sharded_align_step, \
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
-CFG = EngineConfig(cap=1024, acap=16, kx=8, max_iters=50_000)
+CFG = EngineConfig(cap=16384, acap=16, kx=8, max_iters=50_000)
 
 
 def _batch(world, n=16):

@@ -66,7 +66,7 @@ def test_align_precalc_gold_vs_device(small_world, table_pair):
     params = AlnParams(max_diff=2, use_precalc=True, precalc_len=K,
                        batch_size=12)
     g = align_reads_gold(idx, sub, params, precalc=gold_table)
-    cfg = EngineConfig(cap=2048, acap=32, kx=8, max_iters=100_000)
+    cfg = EngineConfig(cap=16384, acap=32, kx=8, max_iters=100_000)
     d = align_reads_device(idx, from_fmindex(idx), sub, params, cfg,
                            precalc=gold_table, seed_slots=8)
     assert len(g) == len(d)
