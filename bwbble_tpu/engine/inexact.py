@@ -332,8 +332,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         head_ = st_["head"]
         occ = head_ >= 0
         bucket = jnp.argmax(occ, axis=1).astype(jnp.int32)
-        node = jnp.take_along_axis(head_, bucket[:, None], 1)[:, 0]
-        node = jnp.where(lanes, node, 0)
+        node = jnp.where(lanes, _pick(head_, bucket), 0)
         g = lambda arr: jnp.take_along_axis(arr, node[:, None], 1)[:, 0]
         eL, eU = g(st_["aL"]), g(st_["aU"])
         m1, m2 = g(st_["aM1"]), g(st_["aM2"])
@@ -502,8 +501,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         for s in range(NSLOT):
             nid = base + s
             bsel = jnp.clip(candSc[:, s], 0, NB - 1)
-            prevs = prevs.at[:, s].set(
-                jnp.take_along_axis(head2, bsel[:, None], 1)[:, 0])
+            prevs = prevs.at[:, s].set(_pick(head2, bsel))
             upd = valid[:, s][:, None] & (col_b == bsel[:, None])
             head2 = jnp.where(upd, nid, head2)
         st_["head"] = head2
@@ -539,38 +537,57 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     st = jax.lax.while_loop(cond, body, state)
     timeout = st["mode"] != MODE_DONE
 
-    # ---- on-device path reconstruction for reported alignments:
-    # walk parent chains, writing states in reverse push order.
     o_node = st["o_node"]                           # [B, ACAP]
-    flat_node = o_node.reshape(-1)
-    rows = jnp.repeat(jnp.arange(B, dtype=jnp.int32), ACAP)
-
-    def walk(t, carry):
-        cur, paths = carry
-        m1 = st["aM1"][rows, jnp.clip(cur, 0, CAP - 1)]
-        par = st["aPar"][rows, jnp.clip(cur, 0, CAP - 1)]
-        alive = (cur >= 0) & (par >= 0)   # roots carry no appended state
-        stv = jnp.where(alive, (m1 >> _SH_ST) & 3, 0).astype(jnp.int8)
-        paths = jax.lax.dynamic_update_slice(
-            paths, stv[:, None], (0, t))
-        return (jnp.where(alive, par, -1), paths)
-
-    _, paths = jax.lax.fori_loop(
-        0, PATHCAP, lambda t, c: walk(t, c),
-        (flat_node, jnp.zeros((B * ACAP, PATHCAP), jnp.int8)))
-
     m1o = jnp.take_along_axis(st["aM1"], o_node, 1)
     return dict(
         n_alns=st["n_alns"],
         o_L=st["o_L"], o_U=st["o_U"], o_score=st["o_score"],
         o_len=st["o_len"],
+        o_node=o_node,
         o_mm=(m1o >> _SH_MM) & 0x1F,
         o_go=(m1o >> _SH_GO) & 0x7,
         o_ge=(m1o >> _SH_GE) & 0xF,
         o_snp=jnp.take_along_axis(st["aM2"], o_node, 1) & 0xFF,
         o_plen=(m1o >> _SH_PLEN) & 0x1FF,
-        o_path_rev=paths.reshape(B, ACAP, PATHCAP),
         overflow=st["overflow"] | timeout,
         iters=st["iters"],
         n_pushed=st["n_pushed"],
+        # parent links stay device-resident; paths of reported alignments are
+        # reconstructed afterwards over a host-compacted node list
+        # (walk_paths) — states derive statically from a node's frame slot.
+        parents=st["aPar"],
     )
+
+
+def slot_states(nc: int) -> np.ndarray:
+    """State appended by each candidate slot: [I, D*nc, M*nc]."""
+    return np.array([C.STATE_I] + [C.STATE_D] * nc + [C.STATE_M] * nc,
+                    dtype=np.int8)
+
+
+@partial(jax.jit, static_argnames=("nroot", "nslot", "nc", "pathcap"))
+def walk_paths(parents: jax.Array, lanes: jax.Array, nodes: jax.Array,
+               nroot: int, nslot: int, nc: int, pathcap: int) -> jax.Array:
+    """Reverse-order state paths for a flat list of (lane, node) alignments.
+
+    A node's appended state is a static function of its frame slot
+    ((node - nroot) % nslot), so only the parent pointer is gathered per
+    step.  Returns int8 [W, pathcap]; entry t is the state of the t-th
+    ancestor (the node itself first; roots contribute nothing).
+    """
+    W = nodes.shape[0]
+    states = jnp.asarray(slot_states(nc))
+
+    def step(t, carry):
+        cur, paths = carry
+        par = parents[lanes, jnp.clip(cur, 0, parents.shape[1] - 1)]
+        alive = (cur >= 0) & (par >= 0)
+        slot = jnp.where(cur >= nroot, (cur - nroot) % nslot, 0)
+        stv = jnp.where(alive, states[slot], 0).astype(jnp.int8)
+        paths = jax.lax.dynamic_update_slice(paths, stv[:, None], (0, t))
+        return (jnp.where(alive, par, -1), paths)
+
+    _, paths = jax.lax.fori_loop(
+        0, pathcap, step, (nodes.astype(jnp.int32),
+                           jnp.zeros((W, pathcap), jnp.int8)))
+    return paths

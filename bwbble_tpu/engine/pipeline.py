@@ -78,6 +78,34 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
              if k.startswith("o_")}
         root_plen = int(params.precalc_len) if seeds is not None else 0
 
+        # reconstruct paths for the reported alignments only: compact the
+        # (lane, node) pairs on the host, walk parent chains on device
+        nc = 11 if params.is_multiref else 4
+        nroot = 1 if seeds is None else seeds[0].shape[1]
+        pathcap = cfg.pathcap or (seq.shape[1] + 32)
+        lanes_l, nodes_l, keys = [], [], []
+        for b in range(nb):
+            if overflow[b]:
+                continue
+            for k in range(int(n_alns[b])):
+                lanes_l.append(b)
+                nodes_l.append(int(o["o_node"][b, k]))
+                keys.append((b, k))
+        paths_rev = {}
+        if keys:
+            W = len(keys)
+            Wp = max(256, 1 << (W - 1).bit_length())
+            lanes_a = np.zeros(Wp, dtype=np.int32)
+            nodes_a = np.full(Wp, -1, dtype=np.int32)
+            lanes_a[:W] = lanes_l
+            nodes_a[:W] = nodes_l
+            from bwbble_tpu.engine.inexact import walk_paths
+            pr = np.asarray(walk_paths(
+                res["parents"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
+                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
+            for w, key in enumerate(keys):
+                paths_rev[key] = pr[w]
+
         for b in range(nb):
             if overflow[b]:
                 n_fallback += 1
@@ -88,7 +116,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             alns = []
             for k in range(int(n_alns[b])):
                 out_len = int(o["o_len"][b, k])
-                path = _reconstruct_path(o["o_path_rev"][b, k],
+                path = _reconstruct_path(paths_rev[(b, k)],
                                          int(o["o_plen"][b, k]), out_len,
                                          root_plen)
                 alns.append(Aln(
