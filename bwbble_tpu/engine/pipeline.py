@@ -1,9 +1,15 @@
 """Device alignment pipeline: batches reads onto the TPU engines and falls
 back to the host gold engine per read on any capacity overflow, so output is
 byte-identical to the reference at every capacity setting.
+
+Batches are dispatched ahead of collection (a small in-flight window), so
+host-side result assembly and device<->host transfers overlap the next
+batch's device compute — the TPU never idles between batches.
 """
 
 from __future__ import annotations
+
+from collections import deque
 
 import numpy as np
 import jax.numpy as jnp
@@ -13,7 +19,7 @@ from bwbble_tpu.align.params import AlnParams
 from bwbble_tpu.align.pipeline import align_read_gold
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.dbound import calc_d, calc_d_1to1
-from bwbble_tpu.engine.inexact import EngineConfig, inexact_search
+from bwbble_tpu.engine.inexact import EngineConfig, inexact_search, walk_paths
 from bwbble_tpu.formats.fastq import Reads
 from bwbble_tpu.gold.engine import Aln
 from bwbble_tpu.index.fmindex import FMIndex
@@ -36,20 +42,22 @@ def _reconstruct_path(rev_row: np.ndarray, plen: int, out_len: int,
 def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        params: AlnParams, cfg: EngineConfig | None = None,
                        d_cap: int = 32, stats: dict | None = None,
-                       precalc=None, seed_slots: int = 32
-                       ) -> list[list[Aln]]:
+                       precalc=None, seed_slots: int = 32,
+                       window: int = 2) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
     `precalc`: optional align.precalc.PrecalcTable for `-P` seeding
     (inexact_match.c:50-57); reads whose seed list exceeds `seed_slots`
-    fall back to the host gold engine.
+    fall back to the host gold engine.  `window`: batches kept in flight.
     """
     cfg = cfg or EngineConfig()
     B = int(params.batch_size)
-    out: list[list[Aln]] = []
     n_fallback = 0
-    for start in range(0, reads.count, B):
+    nc = 11 if params.is_multiref else 4
+    root_plen = int(params.precalc_len) if precalc is not None else 0
+
+    def dispatch(start: int):
         stop = min(start + B, reads.count)
         nb = stop - start
         seq = np.zeros((nb, max(reads.max_len, 1)), dtype=np.int8)
@@ -67,24 +75,26 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             seeds = (jnp.asarray(sL.astype(np.int32)),
                      jnp.asarray(sU.astype(np.int32)),
                      jnp.asarray(scnt))
-
         res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
-                                jnp.asarray(lengths), params, cfg, d_cap,
-                                seeds)
-        dover = dover | seed_over
-        n_alns = np.asarray(res["n_alns"])
-        overflow = np.asarray(res["overflow"]) | dover
-        o = {k: np.asarray(v) for k, v in res.items()
-             if k.startswith("o_")}
-        root_plen = int(params.precalc_len) if seeds is not None else 0
+                                jnp.asarray(lengths), lengths, params, cfg,
+                                d_cap, seeds)
+        return dict(start=start, nb=nb, lengths=lengths, res=res,
+                    dover=dover, seed_over=seed_over, seeds=seeds,
+                    pathcap=cfg.pathcap or (seq.shape[1] + 32))
 
-        # reconstruct paths for the reported alignments only: compact the
-        # (lane, node) pairs on the host, walk parent chains on device
-        nc = 11 if params.is_multiref else 4
-        nroot = 1 if seeds is None else seeds[0].shape[1]
-        pathcap = cfg.pathcap or (seq.shape[1] + 32)
+    def collect(h) -> list[list[Aln]]:
+        nonlocal n_fallback
+        res = h["res"]
+        n_alns = np.asarray(res["n_alns"])
+        overflow = (np.asarray(res["overflow"]) | np.asarray(h["dover"])
+                    | h["seed_over"])
+        o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
+
+        # paths for the reported alignments only: compact (lane, node) pairs
+        # on the host, walk parent chains on device
+        nroot = 1 if h["seeds"] is None else h["seeds"][0].shape[1]
         lanes_l, nodes_l, keys = [], [], []
-        for b in range(nb):
+        for b in range(h["nb"]):
             if overflow[b]:
                 continue
             for k in range(int(n_alns[b])):
@@ -99,19 +109,20 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             nodes_a = np.full(Wp, -1, dtype=np.int32)
             lanes_a[:W] = lanes_l
             nodes_a[:W] = nodes_l
-            from bwbble_tpu.engine.inexact import walk_paths
             pr = np.asarray(walk_paths(
                 res["parents"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
-                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
+                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=h["pathcap"]))
             for w, key in enumerate(keys):
                 paths_rev[key] = pr[w]
 
-        for b in range(nb):
+        batch_out: list[list[Aln]] = []
+        start = h["start"]
+        for b in range(h["nb"]):
             if overflow[b]:
                 n_fallback += 1
-                out.append(align_read_gold(
+                batch_out.append(align_read_gold(
                     idx, reads.seq[start + b], reads.rc[start + b],
-                    int(lengths[b]), params, precalc=precalc))
+                    int(h["lengths"][b]), params, precalc=precalc))
                 continue
             alns = []
             for k in range(int(n_alns[b])):
@@ -126,19 +137,32 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     num_gape=int(o["o_ge"][b, k]),
                     num_snps=int(o["o_snp"][b, k]) & 0xFF,
                     aln_length=out_len, path=path))
-            out.append(alns)
+            batch_out.append(alns)
+        return batch_out
+
+    out: list[list[Aln]] = []
+    pending: deque = deque()
+    for start in range(0, reads.count, B):
+        pending.append(dispatch(start))
+        while len(pending) > window:
+            out.extend(collect(pending.popleft()))
+    while pending:
+        out.extend(collect(pending.popleft()))
     if stats is not None:
         stats["fallback_reads"] = n_fallback
     return out
 
 
-def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap, seeds=None):
+def _run_batch(didx, seq, rc, lengths, lengths_np, params, cfg, d_cap,
+               seeds=None):
+    """Dispatch one batch; returns (result dict of device arrays, device
+    overflow flags).  Nothing here blocks on device completion."""
     seed_len = int(params.seed_length)
     if params.is_multiref:
         D, dov1 = calc_d(didx, seq, lengths, K=d_cap)
     else:
         D, dov1 = calc_d_1to1(didx, seq, lengths)
-    use_seed = (np.asarray(lengths) > seed_len) & (seed_len > 0)
+    use_seed = (lengths_np > seed_len) & (seed_len > 0)
     seed_lengths = jnp.asarray(np.where(use_seed, seed_len, 0).astype(np.int32))
     if params.is_multiref:
         Ds, dov2 = calc_d(didx, seq, seed_lengths, K=d_cap,
@@ -148,12 +172,13 @@ def _run_batch(didx, seq, rc, lengths, params, cfg, d_cap, seeds=None):
                                max_len=max(seed_len, 1))
     # reads not using a seed keep an all-zero D_seed (calloc semantics,
     # inexact_match.c:36,62-64)
-    Ds = jnp.where(jnp.asarray(use_seed)[:, None, None], Ds, 0)
+    use_seed_d = jnp.asarray(use_seed)
+    Ds = jnp.where(use_seed_d[:, None, None], Ds, 0)
     if seeds is None:
         res = inexact_search(didx, rc, lengths, D, Ds, params, cfg)
     else:
         res = inexact_search(didx, rc, lengths, D, Ds, params, cfg,
                              seed_L=seeds[0], seed_U=seeds[1],
                              seed_cnt=seeds[2])
-    dover = np.asarray(dov1) | (np.asarray(dov2) & use_seed)
+    dover = dov1 | (dov2 & use_seed_d)
     return res, dover
