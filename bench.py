@@ -65,7 +65,7 @@ def main():
 
     didx = from_fmindex(idx)
     params = AlnParams(max_diff=4, batch_size=2048)
-    cfg = EngineConfig(cap=32768, acap=64, kx=4, max_iters=500_000)
+    cfg = EngineConfig(cap=32768, acap=24, kx=4, max_iters=500_000)
 
     # warm-up / compile on the first batch shape
     from bwbble_tpu.formats.fastq import Reads
@@ -78,7 +78,7 @@ def main():
     stats: dict = {}
     t1 = time.time()
     alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
-                              stats=stats)
+                              stats=stats, window=3)
     dt = time.time() - t1
     reads_per_sec = reads.count / dt
 

@@ -96,7 +96,22 @@ def parse_fastq_bytes(data: bytes) -> Reads:
 
 def read_fastq(path: str) -> Reads:
     with open(path, "rb") as f:
-        return parse_fastq_bytes(f.read())
+        data = f.read()
+    from bwbble_tpu.native import get_native
+    nat = get_native()
+    if nat is not None:
+        parsed = nat.parse_fastq(data)
+        if parsed is not None:
+            seq, rc, lengths, name_off, name_len, qual_off = parsed
+            names = [data[o:o + l].decode("ascii", errors="replace")
+                     for o, l in zip(name_off, name_len)]
+            quals = [data[o:o + n] for o, n in zip(qual_off, lengths)]
+            if lengths.size and int(lengths.max()) > C.MAX_READ_LEN:
+                pass  # fall through to the Python parser's error message
+            else:
+                return Reads(names=names, seq=seq, rc=rc, qual=quals,
+                             lengths=lengths)
+    return parse_fastq_bytes(data)
 
 
 def parse_read_mapping(name: str) -> dict:

@@ -39,6 +39,21 @@ class _Native:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.bwbble_build_occ.restype = None
+        self._has_fastq = hasattr(lib, "bwbble_fastq_scan")
+        if self._has_fastq:
+            lib.bwbble_fastq_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bwbble_fastq_scan.restype = ctypes.c_int64
+            lib.bwbble_fastq_fill.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bwbble_fastq_fill.restype = ctypes.c_int
 
     def suffix_array(self, seq: np.ndarray) -> np.ndarray:
         seq = np.ascontiguousarray(seq, dtype=np.uint8)
@@ -64,6 +79,40 @@ class _Native:
             ctypes.c_int64(n), ctypes.c_int64(sa0), ctypes.c_int64(interval),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
+
+
+    def parse_fastq(self, data: bytes):
+        """Two-pass FASTQ parse into fixed-shape nt4 batches; returns
+        (seq, rc, lengths, name_off, name_len, qual_off) or None if the
+        library predates the parser or the input is malformed (the caller
+        falls back to the Python parser for proper error reporting)."""
+        if not self._has_fastq:
+            return None
+        buf = np.frombuffer(data, dtype=np.uint8)
+        n = buf.shape[0]
+        ml = ctypes.c_int64(0)
+        p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        count = self._lib.bwbble_fastq_scan(p, n, ctypes.byref(ml))
+        if count < 0:
+            return None
+        count, max_len = int(count), int(ml.value)
+        seq = np.full((count, max_len), 4, dtype=np.int8)
+        rc = np.full((count, max_len), 4, dtype=np.int8)
+        lengths = np.zeros(count, dtype=np.int32)
+        name_off = np.zeros(count, dtype=np.int64)
+        name_len = np.zeros(count, dtype=np.int64)
+        qual_off = np.zeros(count, dtype=np.int64)
+        rcode = self._lib.bwbble_fastq_fill(
+            p, n, count, max_len,
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rcode != 0:
+            return None
+        return seq, rc, lengths, name_off, name_len, qual_off
 
 
 def get_native():

@@ -159,4 +159,106 @@ void bwbble_build_occ(const uint8_t* bwt, int64_t n, int64_t sa0,
   }
 }
 
+// ---------------------------------------------------------------- FASTQ
+
+namespace {
+// nt4 encoding (A=0, G=1, C=2, T=3, everything else N=4; io.h:113-130)
+// and nt4 complement (io.h:110), matching bwbble_tpu.constants.
+struct Nt4Tables {
+  int8_t enc[256];
+  int8_t compl_[5] = {3, 2, 1, 0, 4};
+  Nt4Tables() {
+    std::fill(enc, enc + 256, int8_t(4));
+    enc['A'] = enc['a'] = 0;
+    enc['G'] = enc['g'] = 1;
+    enc['C'] = enc['c'] = 2;
+    enc['T'] = enc['t'] = 3;
+  }
+};
+const Nt4Tables kNt4;
+
+inline int64_t find_byte(const uint8_t* d, int64_t from, int64_t n,
+                         uint8_t c) {
+  const void* p = std::memchr(d + from, c, static_cast<size_t>(n - from));
+  return p ? static_cast<const uint8_t*>(p) - d : -1;
+}
+
+// One record scan step shared by both passes.  Returns 1 on a parsed
+// record, 0 at end of input, -1 on malformed input.  Mirrors
+// bwbble_tpu.formats.fastq.parse_fastq_bytes exactly.
+struct Rec {
+  int64_t name_off, name_len, seq_off, seq_len, qual_off;
+};
+int next_record(const uint8_t* d, int64_t n, int64_t* pos, Rec* r) {
+  int64_t at = find_byte(d, *pos, n, '@');
+  if (at < 0) return 0;
+  int64_t nl = find_byte(d, at, n, '\n');
+  if (nl < 0) return 0;
+  r->name_off = at + 1;
+  r->name_len = std::min<int64_t>(nl - (at + 1), 256);
+  int64_t snl = find_byte(d, nl + 1, n, '\n');
+  if (snl < 0) return -1;
+  int64_t seq_end = snl;
+  while (seq_end > nl + 1 && d[seq_end - 1] == '\r') --seq_end;
+  r->seq_off = nl + 1;
+  r->seq_len = seq_end - (nl + 1);
+  int64_t plus = find_byte(d, snl, n, '+');
+  if (plus < 0) return -1;
+  int64_t pnl = find_byte(d, plus, n, '\n');
+  if (pnl < 0) return -1;
+  int64_t qnl = find_byte(d, pnl + 1, n, '\n');
+  if (qnl < 0) qnl = n;
+  int64_t qual_end = qnl;
+  while (qual_end > pnl + 1 && d[qual_end - 1] == '\r') --qual_end;
+  r->qual_off = pnl + 1;
+  if (qual_end - r->qual_off != r->seq_len) return -1;
+  *pos = qnl + 1;
+  return 1;
+}
+}  // namespace
+
+// Pass 1: count records and the maximum read length.  Returns the record
+// count, or -1 on malformed input (callers fall back to the Python parser
+// for error reporting).
+int64_t bwbble_fastq_scan(const uint8_t* data, int64_t n, int64_t* max_len) {
+  int64_t pos = 0, count = 0, ml = 0;
+  Rec r;
+  int st;
+  while ((st = next_record(data, n, &pos, &r)) == 1) {
+    ++count;
+    if (r.seq_len > ml) ml = r.seq_len;
+    if (pos >= n) break;
+  }
+  if (st < 0) return -1;
+  *max_len = ml;
+  return count;
+}
+
+// Pass 2: fill fixed-shape batches.  seq/rc are [count, max_len] int8
+// padded with 4 (N); offsets let the caller slice names/quals lazily.
+int bwbble_fastq_fill(const uint8_t* data, int64_t n, int64_t count,
+                      int64_t max_len, int8_t* seq, int8_t* rc,
+                      int32_t* lengths, int64_t* name_off, int64_t* name_len,
+                      int64_t* qual_off) {
+  int64_t pos = 0;
+  Rec r;
+  for (int64_t i = 0; i < count; ++i) {
+    if (next_record(data, n, &pos, &r) != 1) return -1;
+    name_off[i] = r.name_off;
+    name_len[i] = r.name_len;
+    qual_off[i] = r.qual_off;
+    lengths[i] = static_cast<int32_t>(r.seq_len);
+    int8_t* srow = seq + i * max_len;
+    int8_t* rrow = rc + i * max_len;
+    std::fill(srow, srow + max_len, int8_t(4));
+    std::fill(rrow, rrow + max_len, int8_t(4));
+    for (int64_t j = 0; j < r.seq_len; ++j) {
+      int8_t c = kNt4.enc[data[r.seq_off + j]];
+      srow[j] = c;
+      rrow[r.seq_len - 1 - j] = kNt4.compl_[c];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

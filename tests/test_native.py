@@ -43,3 +43,26 @@ def test_build_occ(nat):
             if c == 0 and sa0 <= ck:
                 want -= 1
             assert occ[k, c] == want
+
+
+def test_native_fastq_parser_matches_python(tmp_path):
+    from bwbble_tpu.native import get_native
+    nat = get_native()
+    if nat is None or not getattr(nat, "_has_fastq", False):
+        import pytest
+        pytest.skip("native library not built")
+    import numpy as np
+    from bwbble_tpu.formats.fastq import parse_fastq_bytes
+    from bwbble_tpu.testutil import random_genome_fasta, simulate_reads_fastq
+    fa, fq = str(tmp_path / "g.fa"), str(tmp_path / "r.fq")
+    random_genome_fasta(fa, {"c": 5000}, seed=5)
+    simulate_reads_fastq(fa, fq, 30, read_len=73, num_mm=1, seed=6)
+    data = open(fq, "rb").read()
+    py = parse_fastq_bytes(data)
+    seq, rc, lengths, name_off, name_len, qual_off = nat.parse_fastq(data)
+    assert np.array_equal(seq, py.seq) and np.array_equal(rc, py.rc)
+    assert np.array_equal(lengths, py.lengths)
+    names = [data[o:o + l].decode() for o, l in zip(name_off, name_len)]
+    assert names == py.names
+    quals = [data[o:o + n] for o, n in zip(qual_off, lengths)]
+    assert quals == py.qual
