@@ -64,16 +64,12 @@ def main():
     from bwbble_tpu.engine.pipeline import align_reads_device
 
     didx = from_fmindex(idx)
-    params = AlnParams(max_diff=4, batch_size=2048)
+    params = AlnParams(max_diff=4, batch_size=4096)
     cfg = EngineConfig(cap=32768, acap=24, kx=4, max_iters=500_000)
 
-    # warm-up / compile on the first batch shape
-    from bwbble_tpu.formats.fastq import Reads
-    nb = params.batch_size
-    warm = Reads(names=reads.names[:nb], seq=reads.seq[:nb],
-                 rc=reads.rc[:nb], qual=reads.qual[:nb],
-                 lengths=reads.lengths[:nb])
-    align_reads_device(idx, didx, warm, params, cfg, d_cap=16)
+    # warm-up: one full pass compiles every shape (batches, difficulty
+    # scorer, path walk buckets)
+    align_reads_device(idx, didx, reads, params, cfg, d_cap=16, window=3)
 
     stats: dict = {}
     t1 = time.time()

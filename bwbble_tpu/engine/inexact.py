@@ -494,17 +494,26 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         st_["mode"] = jnp.where(lanes & frame_over, MODE_DONE, st_["mode"])
         valid = valid & ~frame_over
 
-        # link candidates into bucket stacks slot by slot (LIFO order)
+        # link candidates into bucket stacks, vectorized over slots:
+        # prev(s) = most recent prior valid slot in the same bucket, else the
+        # old bucket head; new head(v) = last valid slot with bucket v.
+        # (Equivalent to pushing slots 0..NSLOT-1 sequentially — LIFO order.)
         head2 = st_["head"]
         total = jnp.sum(valid, axis=1, dtype=jnp.int32)
-        prevs = jnp.zeros((B, NSLOT), jnp.int32)
-        for s in range(NSLOT):
-            nid = base + s
-            bsel = jnp.clip(candSc[:, s], 0, NB - 1)
-            prevs = prevs.at[:, s].set(_pick(head2, bsel))
-            upd = valid[:, s][:, None] & (col_b == bsel[:, None])
-            head2 = jnp.where(upd, nid, head2)
-        st_["head"] = head2
+        bsel = jnp.clip(candSc, 0, NB - 1)                    # [B, NSLOT]
+        sl = jnp.arange(NSLOT, dtype=jnp.int32)
+        same = (bsel[:, :, None] == bsel[:, None, :])         # [B, s, s']
+        prior = same & valid[:, None, :] & (sl[None, :] < sl[:, None])[None]
+        lastp = jnp.max(jnp.where(prior, sl[None, None, :] + 1, 0),
+                        axis=2) - 1                           # [B, NSLOT]
+        old_head = jnp.sum(
+            jnp.where(bsel[:, :, None] == col_b[:, None, :],
+                      head2[:, None, :], 0), axis=2)          # [B, NSLOT]
+        prevs = jnp.where(lastp >= 0, base + lastp, old_head)
+        sel_vb = valid[:, :, None] & (bsel[:, :, None] == col_b[:, None, :])
+        lasts = jnp.max(jnp.where(sel_vb, sl[None, :, None] + 1, 0),
+                        axis=1) - 1                           # [B, NB]
+        st_["head"] = jnp.where(lasts >= 0, base + lasts, head2)
         candM2 = candSnp | ((prevs + 1) << 8)
         candPar = jnp.broadcast_to(node[:, None], (B, NSLOT))
         # invalid slots still occupy rows; mark them closed via prev=-1 and

@@ -39,17 +39,40 @@ def _reconstruct_path(rev_row: np.ndarray, plen: int, out_len: int,
     return path[:out_len]
 
 
+def difficulty_scores(didx: DeviceIndex, reads: Reads, params: AlnParams,
+                      batch: int = 8192, K: int = 4) -> np.ndarray:
+    """Cheap per-read difficulty proxy: the D-bound's total diff count from
+    a narrow (K=4) interval sweep.  Used only to order reads, never for
+    search decisions, so overflow inexactness is harmless."""
+    out = np.zeros(reads.count, dtype=np.int64)
+    for s in range(0, reads.count, batch):
+        e = min(s + batch, reads.count)
+        seq = jnp.asarray(reads.seq[s:e].astype(np.int32))
+        lengths = jnp.asarray(reads.lengths[s:e].astype(np.int32))
+        if params.is_multiref:
+            D, _ = calc_d(didx, seq, lengths, K=K)
+        else:
+            D, _ = calc_d_1to1(didx, seq, lengths)
+        z = jnp.max(D[:, :, 0], axis=1)
+        out[s:e] = np.asarray(z)
+    return out
+
+
 def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        params: AlnParams, cfg: EngineConfig | None = None,
                        d_cap: int = 32, stats: dict | None = None,
                        precalc=None, seed_slots: int = 32,
-                       window: int = 2) -> list[list[Aln]]:
+                       window: int = 2, sort_reads: bool = True
+                       ) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
     `precalc`: optional align.precalc.PrecalcTable for `-P` seeding
     (inexact_match.c:50-57); reads whose seed list exceeds `seed_slots`
     fall back to the host gold engine.  `window`: batches kept in flight.
+    `sort_reads`: batch reads by estimated difficulty so lockstep batches
+    are homogeneous (the per-batch iteration count is the max over lanes);
+    outputs are restored to input order, so results are unchanged.
     """
     cfg = cfg or EngineConfig()
     B = int(params.batch_size)
@@ -57,14 +80,21 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     nc = 11 if params.is_multiref else 4
     root_plen = int(params.precalc_len) if precalc is not None else 0
 
+    if sort_reads and reads.count > B:
+        order = np.argsort(difficulty_scores(didx, reads, params),
+                           kind="stable").astype(np.int64)
+    else:
+        order = np.arange(reads.count, dtype=np.int64)
+
     def dispatch(start: int):
         stop = min(start + B, reads.count)
         nb = stop - start
+        sel = order[start:stop]
         seq = np.zeros((nb, max(reads.max_len, 1)), dtype=np.int8)
         rc = np.zeros_like(seq)
-        seq[:, :reads.seq.shape[1]] = reads.seq[start:stop]
-        rc[:, :reads.rc.shape[1]] = reads.rc[start:stop]
-        lengths = reads.lengths[start:stop].astype(np.int32)
+        seq[:, :reads.seq.shape[1]] = reads.seq[sel]
+        rc[:, :reads.rc.shape[1]] = reads.rc[sel]
+        lengths = reads.lengths[sel].astype(np.int32)
 
         seeds = None
         seed_over = np.zeros((nb,), dtype=bool)
@@ -78,7 +108,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
                                 jnp.asarray(lengths), lengths, params, cfg,
                                 d_cap, seeds)
-        return dict(start=start, nb=nb, lengths=lengths, res=res,
+        return dict(start=start, nb=nb, sel=sel, lengths=lengths, res=res,
                     dover=dover, seed_over=seed_over, seeds=seeds,
                     pathcap=cfg.pathcap or (seq.shape[1] + 32))
 
@@ -116,12 +146,12 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 paths_rev[key] = pr[w]
 
         batch_out: list[list[Aln]] = []
-        start = h["start"]
+        sel = h["sel"]
         for b in range(h["nb"]):
             if overflow[b]:
                 n_fallback += 1
                 batch_out.append(align_read_gold(
-                    idx, reads.seq[start + b], reads.rc[start + b],
+                    idx, reads.seq[sel[b]], reads.rc[sel[b]],
                     int(h["lengths"][b]), params, precalc=precalc))
                 continue
             alns = []
@@ -140,14 +170,18 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             batch_out.append(alns)
         return batch_out
 
-    out: list[list[Aln]] = []
+    sorted_out: list[list[Aln]] = []
     pending: deque = deque()
     for start in range(0, reads.count, B):
         pending.append(dispatch(start))
         while len(pending) > window:
-            out.extend(collect(pending.popleft()))
+            sorted_out.extend(collect(pending.popleft()))
     while pending:
-        out.extend(collect(pending.popleft()))
+        sorted_out.extend(collect(pending.popleft()))
+    # restore input order
+    out: list[list[Aln]] = [[] for _ in range(reads.count)]
+    for pos, orig in enumerate(order):
+        out[orig] = sorted_out[pos]
     if stats is not None:
         stats["fallback_reads"] = n_fallback
     return out
