@@ -19,7 +19,7 @@ import numpy as np
 
 BASELINE_READS_PER_SEC = 5100.0   # BASELINE.md: reference, 1 CPU core, -n 4
 GENOME_BP = 5_000_000
-NUM_READS = 10_240
+NUM_READS = 16_384
 READ_LEN = 100
 NUM_MM = 2
 
@@ -34,7 +34,7 @@ def build_world():
 
     os.makedirs(CACHE, exist_ok=True)
     fa = os.path.join(CACHE, "bench.fa")
-    fq = os.path.join(CACHE, "bench.fq")
+    fq = os.path.join(CACHE, f"bench_{NUM_READS}.fq")
     bwt = os.path.join(CACHE, "bench.bwt")
     if not os.path.exists(fa):
         random_genome_fasta(fa, {"chr1": GENOME_BP}, seed=11)
@@ -64,7 +64,7 @@ def main():
     from bwbble_tpu.engine.pipeline import align_reads_device
 
     didx = from_fmindex(idx)
-    params = AlnParams(max_diff=4, batch_size=4096)
+    params = AlnParams(max_diff=4, batch_size=8192)
     cfg = EngineConfig(cap=32768, acap=24, kx=4, max_iters=500_000)
 
     # warm-up: one full pass compiles every shape (batches, difficulty

@@ -58,3 +58,29 @@ def test_align_device_matches_gold_bytes(world):
                      gold]) == 0
     assert main(["align", "-n", "2", "--batch", "24", fa, fq, dev]) == 0
     assert open(gold, "rb").read() == open(dev, "rb").read()
+
+
+def test_index_esa(world, tmp_path):
+    """`index -e` (40-bit external SA ingest, esa2bwt bwt.c:132-158) must
+    produce a byte-identical .bwt to the in-RAM SA-IS build."""
+    import shutil
+    from bwbble_tpu.formats.fasta import read_ref
+    from bwbble_tpu.index.suffix_array import suffix_array
+
+    fa = str(tmp_path / "e.fa")
+    shutil.copy(world["fa"], fa)
+    assert main(["index", fa]) == 0
+    ref_bwt = open(fa + ".bwt", "rb").read()
+
+    codes = read_ref(fa + ".ref")
+    sa = suffix_array(codes)  # rows 1..n of the full SA (row 0 is virtual)
+    esa = tmp_path / "e.sa5"
+    vals = sa.astype(np.uint64)
+    raw = np.zeros((vals.shape[0], 5), dtype=np.uint8)
+    for b in range(5):
+        raw[:, b] = (vals >> (8 * b)) & 0xFF
+    raw.tofile(esa)
+
+    os.remove(fa + ".bwt")
+    assert main(["index", "-e", str(esa), fa]) == 0
+    assert open(fa + ".bwt", "rb").read() == ref_bwt
