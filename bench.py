@@ -65,7 +65,7 @@ def main():
 
     didx = from_fmindex(idx)
     params = AlnParams(max_diff=4, batch_size=8192)
-    cfg = EngineConfig(cap=32768, acap=24, kx=4, max_iters=500_000)
+    cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
 
     # warm-up: one full pass compiles every shape (batches, difficulty
     # scorer, path walk buckets)
