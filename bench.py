@@ -82,7 +82,8 @@ def main():
     sys.stderr.write(
         f"backend={jax.default_backend()} index_build={t_build:.1f}s "
         f"align={dt:.2f}s aligned={n_aligned}/{reads.count} "
-        f"fallback={stats.get('fallback_reads', 0)}\n")
+        f"fallback={stats.get('fallback_reads', 0)} "
+        f"retried={stats.get('retried_reads', 0)}\n")
     print(json.dumps({
         "metric": "inexact_align_throughput",
         "value": round(reads_per_sec, 1),

@@ -2,13 +2,21 @@
 back to the host gold engine per read on any capacity overflow, so output is
 byte-identical to the reference at every capacity setting.
 
-Batches are dispatched ahead of collection (a small in-flight window), so
-host-side result assembly and device<->host transfers overlap the next
-batch's device compute — the TPU never idles between batches.
+Throughput structure:
+- reads are ordered by a cheap difficulty proxy before batching, so lockstep
+  batches are homogeneous (the per-batch iteration count is the max over
+  lanes);
+- batches are dispatched ahead of collection (a small in-flight window), so
+  host assembly and device<->host transfers overlap the next batch's compute;
+- escalation tiers: a first pass with a small arena budget resolves typical
+  reads cheaply; stragglers are re-run from scratch on-device with the full
+  budget (per-read search is deterministic, so results are identical), and
+  only reads that still overflow fall back to the host gold engine.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from collections import deque
 
 import numpy as np
@@ -62,23 +70,124 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        params: AlnParams, cfg: EngineConfig | None = None,
                        d_cap: int = 32, stats: dict | None = None,
                        precalc=None, seed_slots: int = 32,
-                       window: int = 2, sort_reads: bool = True
-                       ) -> list[list[Aln]]:
+                       window: int = 2, sort_reads: bool = True,
+                       first_cap: int | None = None) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
     `precalc`: optional align.precalc.PrecalcTable for `-P` seeding
     (inexact_match.c:50-57); reads whose seed list exceeds `seed_slots`
     fall back to the host gold engine.  `window`: batches kept in flight.
-    `sort_reads`: batch reads by estimated difficulty so lockstep batches
-    are homogeneous (the per-batch iteration count is the max over lanes);
-    outputs are restored to input order, so results are unchanged.
+    `first_cap`: arena rows for the first escalation tier (None => single
+    tier with cfg.cap).
     """
     cfg = cfg or EngineConfig()
     B = int(params.batch_size)
-    n_fallback = 0
     nc = 11 if params.is_multiref else 4
     root_plen = int(params.precalc_len) if precalc is not None else 0
+    counters = {"fallback_reads": 0, "retried_reads": 0}
+    results: list = [None] * reads.count
+
+    def run_tier(sel_all: np.ndarray, tier_cfg: EngineConfig, tier_B: int
+                 ) -> list[int]:
+        """Process reads[sel_all] with tier_cfg; fill `results` for resolved
+        reads, return the original indices that overflowed."""
+        failed: list[int] = []
+
+        def dispatch(start: int):
+            sel = sel_all[start:start + tier_B]
+            nb = sel.shape[0]
+            if nb < tier_B:
+                # pad with copies of the first read: all batches share one
+                # compiled shape; duplicate results are harmlessly rewritten
+                sel = np.concatenate(
+                    [sel, np.full(tier_B - nb, sel[0], dtype=sel.dtype)])
+            seq = np.zeros((tier_B, max(reads.max_len, 1)), dtype=np.int8)
+            rc = np.zeros_like(seq)
+            seq[:, :reads.seq.shape[1]] = reads.seq[sel]
+            rc[:, :reads.rc.shape[1]] = reads.rc[sel]
+            lengths = reads.lengths[sel].astype(np.int32)
+
+            seeds = None
+            seed_over = np.zeros((tier_B,), dtype=bool)
+            if precalc is not None:
+                from bwbble_tpu.align.precalc import read_indices
+                ri = read_indices(rc, lengths, k=int(params.precalc_len))
+                sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
+                seeds = (jnp.asarray(sL.astype(np.int32)),
+                         jnp.asarray(sU.astype(np.int32)),
+                         jnp.asarray(scnt))
+            res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
+                                    jnp.asarray(lengths), lengths, params,
+                                    tier_cfg, d_cap, seeds)
+            return dict(nb=nb, sel=sel, lengths=lengths, res=res,
+                        dover=dover, seed_over=seed_over, seeds=seeds,
+                        pathcap=tier_cfg.pathcap or (seq.shape[1] + 32))
+
+        def collect(h) -> None:
+            res = h["res"]
+            n_alns = np.asarray(res["n_alns"])
+            overflow = (np.asarray(res["overflow"])
+                        | np.asarray(h["dover"]) | h["seed_over"])
+            o = {k: np.asarray(v) for k, v in res.items()
+                 if k.startswith("o_")}
+
+            # paths for the reported alignments only: compact (lane, node)
+            # pairs on the host, walk parent chains on device
+            nroot = 1 if h["seeds"] is None else h["seeds"][0].shape[1]
+            lanes_l, nodes_l, keys = [], [], []
+            for b in range(h["nb"]):
+                if overflow[b]:
+                    continue
+                for k in range(int(n_alns[b])):
+                    lanes_l.append(b)
+                    nodes_l.append(int(o["o_node"][b, k]))
+                    keys.append((b, k))
+            paths_rev = {}
+            if keys:
+                W = len(keys)
+                Wp = max(256, 1 << (W - 1).bit_length())
+                lanes_a = np.zeros(Wp, dtype=np.int32)
+                nodes_a = np.full(Wp, -1, dtype=np.int32)
+                lanes_a[:W] = lanes_l
+                nodes_a[:W] = nodes_l
+                pr = np.asarray(walk_paths(
+                    res["parents"], jnp.asarray(lanes_a),
+                    jnp.asarray(nodes_a), nroot=nroot, nslot=1 + 2 * nc,
+                    nc=nc, pathcap=h["pathcap"]))
+                for w, key in enumerate(keys):
+                    paths_rev[key] = pr[w]
+
+            sel = h["sel"]
+            for b in range(h["nb"]):
+                orig = int(sel[b])
+                if overflow[b]:
+                    failed.append(orig)
+                    continue
+                alns = []
+                for k in range(int(n_alns[b])):
+                    out_len = int(o["o_len"][b, k])
+                    path = _reconstruct_path(paths_rev[(b, k)],
+                                             int(o["o_plen"][b, k]),
+                                             out_len, root_plen)
+                    alns.append(Aln(
+                        score=int(o["o_score"][b, k]),
+                        L=int(o["o_L"][b, k]), U=int(o["o_U"][b, k]),
+                        num_mm=int(o["o_mm"][b, k]),
+                        num_gapo=int(o["o_go"][b, k]),
+                        num_gape=int(o["o_ge"][b, k]),
+                        num_snps=int(o["o_snp"][b, k]) & 0xFF,
+                        aln_length=out_len, path=path))
+                results[orig] = alns
+
+        pending: deque = deque()
+        for start in range(0, sel_all.shape[0], tier_B):
+            pending.append(dispatch(start))
+            while len(pending) > window:
+                collect(pending.popleft())
+        while pending:
+            collect(pending.popleft())
+        return failed
 
     if sort_reads and reads.count > B:
         order = np.argsort(difficulty_scores(didx, reads, params),
@@ -86,105 +195,33 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     else:
         order = np.arange(reads.count, dtype=np.int64)
 
-    def dispatch(start: int):
-        stop = min(start + B, reads.count)
-        nb = stop - start
-        sel = order[start:stop]
-        seq = np.zeros((nb, max(reads.max_len, 1)), dtype=np.int8)
-        rc = np.zeros_like(seq)
-        seq[:, :reads.seq.shape[1]] = reads.seq[sel]
-        rc[:, :reads.rc.shape[1]] = reads.rc[sel]
-        lengths = reads.lengths[sel].astype(np.int32)
+    tiers: list[EngineConfig] = []
+    if first_cap is not None and first_cap < cfg.cap:
+        tiers.append(dataclasses.replace(cfg, cap=int(first_cap)))
+    tiers.append(cfg)
 
-        seeds = None
-        seed_over = np.zeros((nb,), dtype=bool)
-        if precalc is not None:
-            from bwbble_tpu.align.precalc import read_indices
-            ri = read_indices(rc, lengths, k=int(params.precalc_len))
-            sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
-            seeds = (jnp.asarray(sL.astype(np.int32)),
-                     jnp.asarray(sU.astype(np.int32)),
-                     jnp.asarray(scnt))
-        res, dover = _run_batch(didx, jnp.asarray(seq), jnp.asarray(rc),
-                                jnp.asarray(lengths), lengths, params, cfg,
-                                d_cap, seeds)
-        return dict(start=start, nb=nb, sel=sel, lengths=lengths, res=res,
-                    dover=dover, seed_over=seed_over, seeds=seeds,
-                    pathcap=cfg.pathcap or (seq.shape[1] + 32))
+    sel = order
+    for t, tier_cfg in enumerate(tiers):
+        if sel.shape[0] == 0:
+            break
+        if t > 0:
+            counters["retried_reads"] += sel.shape[0]
+        failed = run_tier(sel, tier_cfg, min(B, _pow2_at_least(sel.shape[0])))
+        sel = np.array(sorted(set(failed)), dtype=np.int64)
 
-    def collect(h) -> list[list[Aln]]:
-        nonlocal n_fallback
-        res = h["res"]
-        n_alns = np.asarray(res["n_alns"])
-        overflow = (np.asarray(res["overflow"]) | np.asarray(h["dover"])
-                    | h["seed_over"])
-        o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
+    for orig in sel:
+        counters["fallback_reads"] += 1
+        results[orig] = align_read_gold(
+            idx, reads.seq[orig], reads.rc[orig],
+            int(reads.lengths[orig]), params, precalc=precalc)
 
-        # paths for the reported alignments only: compact (lane, node) pairs
-        # on the host, walk parent chains on device
-        nroot = 1 if h["seeds"] is None else h["seeds"][0].shape[1]
-        lanes_l, nodes_l, keys = [], [], []
-        for b in range(h["nb"]):
-            if overflow[b]:
-                continue
-            for k in range(int(n_alns[b])):
-                lanes_l.append(b)
-                nodes_l.append(int(o["o_node"][b, k]))
-                keys.append((b, k))
-        paths_rev = {}
-        if keys:
-            W = len(keys)
-            Wp = max(256, 1 << (W - 1).bit_length())
-            lanes_a = np.zeros(Wp, dtype=np.int32)
-            nodes_a = np.full(Wp, -1, dtype=np.int32)
-            lanes_a[:W] = lanes_l
-            nodes_a[:W] = nodes_l
-            pr = np.asarray(walk_paths(
-                res["parents"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
-                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=h["pathcap"]))
-            for w, key in enumerate(keys):
-                paths_rev[key] = pr[w]
-
-        batch_out: list[list[Aln]] = []
-        sel = h["sel"]
-        for b in range(h["nb"]):
-            if overflow[b]:
-                n_fallback += 1
-                batch_out.append(align_read_gold(
-                    idx, reads.seq[sel[b]], reads.rc[sel[b]],
-                    int(h["lengths"][b]), params, precalc=precalc))
-                continue
-            alns = []
-            for k in range(int(n_alns[b])):
-                out_len = int(o["o_len"][b, k])
-                path = _reconstruct_path(paths_rev[(b, k)],
-                                         int(o["o_plen"][b, k]), out_len,
-                                         root_plen)
-                alns.append(Aln(
-                    score=int(o["o_score"][b, k]), L=int(o["o_L"][b, k]),
-                    U=int(o["o_U"][b, k]), num_mm=int(o["o_mm"][b, k]),
-                    num_gapo=int(o["o_go"][b, k]),
-                    num_gape=int(o["o_ge"][b, k]),
-                    num_snps=int(o["o_snp"][b, k]) & 0xFF,
-                    aln_length=out_len, path=path))
-            batch_out.append(alns)
-        return batch_out
-
-    sorted_out: list[list[Aln]] = []
-    pending: deque = deque()
-    for start in range(0, reads.count, B):
-        pending.append(dispatch(start))
-        while len(pending) > window:
-            sorted_out.extend(collect(pending.popleft()))
-    while pending:
-        sorted_out.extend(collect(pending.popleft()))
-    # restore input order
-    out: list[list[Aln]] = [[] for _ in range(reads.count)]
-    for pos, orig in enumerate(order):
-        out[orig] = sorted_out[pos]
     if stats is not None:
-        stats["fallback_reads"] = n_fallback
-    return out
+        stats.update(counters)
+    return results
+
+
+def _pow2_at_least(n: int, lo: int = 256) -> int:
+    return max(lo, 1 << (int(n) - 1).bit_length())
 
 
 def _run_batch(didx, seq, rc, lengths, lengths_np, params, cfg, d_cap,
