@@ -48,8 +48,13 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
     Lanes with c > 3 (N) produce empty lists (exact_match.c:84-86).
     """
     B, K = Ls.shape
-    occL, occU = rank_all_exact_pair(didx, (Ls - 1).reshape(-1),
-                                     Us.reshape(-1))
+    # dead slots (>= cnt) query block 0: their outputs are masked out below,
+    # and collapsing their row gathers onto one hot row is much cheaper than
+    # random lookups (TPU gathers are per-row latency-bound)
+    slot_live = jnp.arange(K, dtype=jnp.int32)[None, :] < cnt[:, None]
+    qL = jnp.where(slot_live, Ls - 1, 0).reshape(-1)
+    qU = jnp.where(slot_live, Us, 0).reshape(-1)
+    occL, occU = rank_all_exact_pair(didx, qL, qU)
     occL = occL.reshape(B, K, 16)
     occU = occU.reshape(B, K, 16)
 
