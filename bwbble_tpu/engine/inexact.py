@@ -15,19 +15,25 @@ serialize on TPU) and no full-arena scans:
 - **Score-bucket stacks.**  The reference heap (score buckets, LIFO within a
   bucket, pop = tail of best bucket; inexact_match.c:510-610) maps exactly
   onto per-lane bucket heads [B, NUM_BUCKETS] plus a per-node `prev` link:
-  push = one [B, NUM_BUCKETS] select + a gather, pop = argmax over ~65
-  occupied flags + one gather.  Exploration order is bit-identical.
+  push = vectorized [B, NSLOT, NB] selects, pop = argmax over ~65 occupied
+  flags + one gather.  Exploration order is bit-identical.
 - **Packed node words.**  A node is 5 int32s: L, U, meta1
   (i|mm|go|ge|state|plen), meta2 (snps | prev+1 << 8), parent.  Scores are
   recomputed from meta1 (3 multiplies) instead of stored.
-- **Device path reconstruction.**  After the loop, parent chains of the
-  reported alignments are walked on-device into reverse-order state buffers,
-  so only O(B * ACAP * Lmax) bytes return to the host (not the arena).
+- **Continuous batching (queue mode).**  Lockstep cost is the max over
+  lanes, so fixed batches waste most lane-iterations on finished reads.
+  With a read queue, a lane that finishes flushes its outputs to per-read
+  result slabs and pulls the next read from a global counter inside the
+  while loop — iteration count becomes (total pops / B)-bound instead of
+  max-bound.  Per-read search state resets exactly, so results are
+  bit-identical to fixed batching.
+- **Device path reconstruction.**  Parent chains of the reported alignments
+  are walked after the loop over a host-compacted (lane, node) list; a
+  node's appended state is a static function of its frame slot.
 - Per-lane state machine: each iteration a lane either pops+expands one DFS
   node, or advances its in-flight exact-completion scan (the
   exact_match_bounded call of inexact_match.c:345-375) by one character.
-  Frame rows are consumed only on iterations where some lane popped.
-  Capacity overflow (frames/alignments/intervals) flags the lane for
+  Capacity overflow (frames/alignments/intervals) flags the read for
   host-gold fallback, so results remain byte-exact at any capacity setting.
 
 Indices are int32 (single-shard genomes < 2^31 positions).
@@ -71,11 +77,12 @@ def _unpack1(m):
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    cap: int = 16384          # arena rows per lane (bounds DFS pops)
-    acap: int = 32            # reported alignments per lane
-    kx: int = 16              # exact-completion interval slots per lane
+    cap: int = 32768          # arena rows per lane (bounds DFS pops)
+    acap: int = 24            # reported alignments per read
+    kx: int = 4               # exact-completion interval slots per lane
     max_iters: int = 200_000  # lockstep safety bound
     pathcap: int = 0          # reported path length bound (0 => Lmax + 32)
+    flush: int = 64           # queue mode: max reads flushed per iteration
 
 
 def _int(p, name):
@@ -90,30 +97,21 @@ def _pick(arr: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1)
 
 
-@partial(jax.jit, static_argnames=("params", "cfg"))
-def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
-                   D: jax.Array, D_seed: jax.Array,
-                   params: AlnParams, cfg: EngineConfig,
-                   seed_L: jax.Array | None = None,
-                   seed_U: jax.Array | None = None,
-                   seed_cnt: jax.Array | None = None):
-    """Run the batched search.
-
-    Args:
-      rc:        int32 [B, Lmax] nt4 reverse-complement reads (the search
-                 operates on the RC, inexact_match.c:59-65).
-      lengths:   int32 [B].
-      D, D_seed: int32 [B, *, 2] lower bounds from engine.dbound.
-      seed_*:    optional precalc SA intervals per lane ([B, S] plus count);
-                 when given, lanes start from those entries with a PK-long
-                 all-match path (inexact_match.c:269-282).
-    Returns a dict of result arrays (see the `out` construction below).
-    """
-    B, Lmax = rc.shape
-    ACAP, KX = cfg.acap, cfg.kx
+def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
+            params: AlnParams, cfg: EngineConfig,
+            seed_L, seed_U, seed_cnt, lanes_B: int | None):
+    """Shared implementation.  When lanes_B is None, one lane per read (fixed
+    batch).  Otherwise lanes_B lanes stream through all NR reads (queue
+    mode): outputs land in [NR, ...] slabs."""
+    NR, Lmax = rc_all.shape
+    QUEUED = lanes_B is not None
+    B = lanes_B if QUEUED else NR
+    ACAP, KX, FL = cfg.acap, cfg.kx, cfg.flush
     PATHCAP = cfg.pathcap or (Lmax + 32)
-    rc = rc.astype(jnp.int32)
-    lengths = lengths.astype(jnp.int32)
+    rc_all = rc_all.astype(jnp.int32)
+    lengths_all = lengths_all.astype(jnp.int32)
+    DL = D_all.shape[1]
+    DSL = Ds_all.shape[1]
 
     p_mm = _int(params, "mm_score")
     p_go = _int(params, "gapo_score")
@@ -137,7 +135,9 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         chars = [1, 2, 3, 4]
     NC = len(chars)
     NSLOT = 1 + 2 * NC
-    NROOT = 1 if seed_cnt is None else seed_L.shape[1]
+    HAS_SEEDS = seed_cnt is not None
+    NROOT = 1 if not HAS_SEEDS else seed_L.shape[1]
+    PK = _int(params, "precalc_len") if HAS_SEEDS else 0
     CAP = int(cfg.cap)
     # the last frame is a trash slab: overflow iterations write there (with
     # nothing linked) instead of clobbering live rows via clamped offsets
@@ -156,56 +156,91 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     zi = jnp.zeros((B,), jnp.int32)
     zb = jnp.zeros((B,), bool)
 
-    # ------------------------------------------------------------ arena init
+    def _node_read(st_, af, rf, node):
+        """Value of a node field; ids < NROOT come from the root arrays."""
+        aV = jnp.take_along_axis(st_[af], node[:, None], 1)[:, 0]
+        rV = jnp.take_along_axis(
+            st_[rf], jnp.clip(node, 0, NROOT - 1)[:, None], 1)[:, 0]
+        return jnp.where(node < NROOT, rV, aV)
+
+    # ---------------------------------------------------- per-read init logic
+
+    def read_init(rc, lengths, sL, sU, scnt):
+        """Root-node rows (NROOT per lane), initial heads, open counts, and
+        the up-front N-count discard (inexact_match.c:259-266)."""
+        if not HAS_SEEDS:
+            rL = jnp.zeros((B, NROOT), jnp.int32)
+            rU = jnp.full((B, NROOT), didx.length - 1, jnp.int32)
+            rM1 = _pack1(lengths, 0, 0, 0, C.STATE_M, 0)[:, None]
+            rM2 = jnp.zeros((B, NROOT), jnp.int32)
+            head0 = jnp.full((B, NB), -1, jnp.int32).at[:, 0].set(0)
+            n_open = jnp.ones((B,), jnp.int32)
+            no_seed_hit = zb
+        else:
+            slot = jnp.arange(NROOT, dtype=jnp.int32)[None, :]
+            live = slot < scnt[:, None]
+            rL = jnp.where(live, sL.astype(jnp.int32), 0)
+            rU = jnp.where(live, sU.astype(jnp.int32), -1)
+            rM1 = jnp.where(live, _pack1((lengths - PK)[:, None], 0, 0, 0,
+                                         C.STATE_M, PK), 0)
+            # LIFO chain within bucket 0: slot s links to s-1
+            rM2 = jnp.where(live, slot << 8, 0)
+            head0 = jnp.full((B, NB), -1, jnp.int32).at[:, 0].set(
+                jnp.where(scnt > 0, scnt - 1, -1))
+            n_open = scnt.astype(jnp.int32)
+            no_seed_hit = scnt == 0
+        pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
+        discard = (n_count > p_maxdiff) | no_seed_hit
+        return rL, rU, rM1, rM2, head0, n_open, discard
+
+    # ---------------------------------------------------------- initial state
+    first = jnp.arange(B, dtype=jnp.int32) % NR   # queue: first B reads
+    if QUEUED:
+        rc0 = rc_all[first]
+        len0 = lengths_all[first]
+        D0 = D_all[first]
+        Ds0 = Ds_all[first]
+        sL0 = seed_L[first] if HAS_SEEDS else None
+        sU0 = seed_U[first] if HAS_SEEDS else None
+        scnt0 = seed_cnt[first] if HAS_SEEDS else None
+    else:
+        rc0, len0, D0, Ds0 = rc_all, lengths_all, D_all, Ds_all
+        sL0, sU0, scnt0 = seed_L, seed_U, seed_cnt
+
+    rL, rU, rM1, rM2, head0, n_open0, discard0 = read_init(
+        rc0, len0, sL0, sU0, scnt0)
+
+    # root rows (node ids < NROOT) live in small dedicated arrays so queue-
+    # mode read switches never scatter into the big arena planes (which
+    # would break XLA's in-place aliasing of the loop carry)
     aL = jnp.zeros((B, CAP), jnp.int32)
     aU = jnp.zeros((B, CAP), jnp.int32)
     aM1 = jnp.zeros((B, CAP), jnp.int32)
-    aM2 = jnp.zeros((B, CAP), jnp.int32)   # snps | (prev+1) << 8
+    aM2 = jnp.zeros((B, CAP), jnp.int32)
     aPar = jnp.full((B, CAP), -1, jnp.int32)
-    head = jnp.full((B, NB), -1, jnp.int32)
-
-    if seed_cnt is None:
-        aU = aU.at[:, 0].set(didx.length - 1)
-        aM1 = aM1.at[:, 0].set(_pack1(lengths, 0, 0, 0, C.STATE_M, 0))
-        head = head.at[:, 0].set(0)
-        n_open = jnp.ones((B,), jnp.int32)
-        no_seed_hit = zb
-    else:
-        PK = _int(params, "precalc_len")
-        S = NROOT
-        slot = jnp.arange(S, dtype=jnp.int32)[None, :]
-        live = slot < seed_cnt[:, None]
-        aL = aL.at[:, :S].set(jnp.where(live, seed_L.astype(jnp.int32), 0))
-        aU = aU.at[:, :S].set(jnp.where(live, seed_U.astype(jnp.int32), -1))
-        aM1 = aM1.at[:, :S].set(jnp.where(
-            live, _pack1((lengths - PK)[:, None], 0, 0, 0, C.STATE_M, PK), 0))
-        # LIFO chain within bucket 0: slot s links to s-1
-        aM2 = aM2.at[:, :S].set(jnp.where(live, slot << 8, 0))
-        head = head.at[:, 0].set(
-            jnp.where(seed_cnt > 0, seed_cnt - 1, -1))
-        n_open = seed_cnt.astype(jnp.int32)
-        no_seed_hit = seed_cnt == 0   # no precalc match => no alignment
-
-    # reads with more N's than the budget are discarded up front
-    pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-    n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
-    discard = (n_count > p_maxdiff) | no_seed_hit
 
     state = dict(
-        aL=aL, aU=aU, aM1=aM1, aM2=aM2, aPar=aPar, head=head,
+        aL=aL, aU=aU, aM1=aM1, aM2=aM2, aPar=aPar, head=head0,
+        rtL=rL, rtU=rU, rtM1=rM1, rtM2=rM2,
+        rc=rc0, len=len0, D=D0, Ds=Ds0,
+        cur=first,                     # read id being processed per lane
         n_pushed=jnp.full((B,), NROOT, jnp.int32),
-        n_open=jnp.where(discard, 0, n_open),
-        mode=jnp.where(discard, MODE_DONE, MODE_DFS),
+        n_open=jnp.where(discard0, 0, n_open0),
+        mode=jnp.where(discard0 | (jnp.arange(B) >= NR), MODE_DONE,
+                       MODE_DFS).astype(jnp.int32),
         best_score=jnp.full((B,), worst, jnp.int32),
         max_diff=jnp.full((B,), p_maxdiff, jnp.int32),
         num_best=zi,
         overflow=zb,
-        # alignment output
+        # per-lane alignment scratch (flushed per read in queue mode)
         o_L=jnp.zeros((B, ACAP), jnp.int32),
         o_U=jnp.zeros((B, ACAP), jnp.int32),
         o_score=jnp.zeros((B, ACAP), jnp.int32),
         o_len=jnp.zeros((B, ACAP), jnp.int32),
         o_node=jnp.zeros((B, ACAP), jnp.int32),
+        o_m1=jnp.zeros((B, ACAP), jnp.int32),
+        o_snp=jnp.zeros((B, ACAP), jnp.int32),
         n_alns=zi,
         # exact-completion scan
         x_L=jnp.zeros((B, KX), jnp.int32),
@@ -216,6 +251,21 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         iters=jnp.int32(0),
         fcnt=jnp.int32(0),      # frames consumed
     )
+    if QUEUED:
+        state.update(
+            counter=jnp.int32(min(B, NR)),
+            # lanes beyond NR (duplicate initial reads) stay permanently idle
+            flushed=jnp.arange(B) >= NR,
+            # packed per-read result slabs:
+            #   q_alns[r] = [L, U, score, len, node, m1, snp] x ACAP
+            #   q_meta[r] = [n_alns, overflow, lane]; n_alns -1 = incomplete
+            q_alns=jnp.zeros((NR, 7, ACAP), jnp.int32),
+            q_meta=jnp.zeros((NR, 3), jnp.int32).at[:, 0].set(-1),
+        )
+
+    if HAS_SEEDS and QUEUED:
+        state.update(sL=sL0.astype(jnp.int32), sU=sU0.astype(jnp.int32),
+                     scnt=scnt0.astype(jnp.int32))
 
     # ------------------------------------------------------------- emissions
 
@@ -224,8 +274,10 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         order, path length = node.plen + extra_m.  Implements the hit /
         exact-completion bookkeeping of inexact_match.c:331-375 and
         add_alignment's gap dedup (align.c:271-298)."""
-        m1 = jnp.take_along_axis(st_["aM1"], node[:, None], 1)[:, 0]
+        m1 = _node_read(st_, "aM1", "rtM1", node)
+        m2 = _node_read(st_, "aM2", "rtM2", node)
         _i, mm, go, ge, _st, plen = _unpack1(m1)
+        snp = m2 & 0xFF
         score = score_of(mm, go, ge)
 
         first_hit = lanes & (st_["n_alns"] == 0)
@@ -245,6 +297,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         o_L, o_U = st_["o_L"], st_["o_U"]
         o_score, o_len = st_["o_score"], st_["o_len"]
         o_node, n_alns = st_["o_node"], st_["n_alns"]
+        o_m1, o_snp = st_["o_m1"], st_["o_snp"]
         over = st_["overflow"]
         add_len = plen + extra_m
         for s in range(Ls.shape[1]):
@@ -262,21 +315,151 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
             o_score = jnp.where(sel, score[:, None], o_score)
             o_len = jnp.where(sel, add_len[:, None], o_len)
             o_node = jnp.where(sel, node[:, None], o_node)
+            o_m1 = jnp.where(sel, m1[:, None], o_m1)
+            o_snp = jnp.where(sel, snp[:, None], o_snp)
             n_alns = n_alns + ok.astype(jnp.int32)
 
         st_ = dict(st_)
         st_.update(best_score=best_score, max_diff=max_diff,
                    num_best=num_best, o_L=o_L, o_U=o_U, o_score=o_score,
-                   o_len=o_len, o_node=o_node, n_alns=n_alns, overflow=over)
+                   o_len=o_len, o_node=o_node, o_m1=o_m1, o_snp=o_snp,
+                   n_alns=n_alns, overflow=over)
         st_["mode"] = jnp.where(stop, MODE_DONE, st_["mode"])
+        return st_
+
+    # ------------------------------------------------- queue flush + refill
+
+    def read_init_fl(rc, lengths, sL, sU, scnt):
+        """read_init over FL rows (same math, smaller batch)."""
+        if not HAS_SEEDS:
+            rLr = jnp.zeros((FL, NROOT), jnp.int32)
+            rUr = jnp.full((FL, NROOT), didx.length - 1, jnp.int32)
+            rM1r = _pack1(lengths, 0, 0, 0, C.STATE_M, 0)[:, None]
+            rM2r = jnp.zeros((FL, NROOT), jnp.int32)
+            head0 = jnp.full((FL, NB), -1, jnp.int32).at[:, 0].set(0)
+            n_open = jnp.ones((FL,), jnp.int32)
+            no_seed_hit = jnp.zeros((FL,), bool)
+        else:
+            slot = jnp.arange(NROOT, dtype=jnp.int32)[None, :]
+            live = slot < scnt[:, None]
+            rLr = jnp.where(live, sL.astype(jnp.int32), 0)
+            rUr = jnp.where(live, sU.astype(jnp.int32), -1)
+            rM1r = jnp.where(live, _pack1((lengths - PK)[:, None], 0, 0, 0,
+                                          C.STATE_M, PK), 0)
+            rM2r = jnp.where(live, slot << 8, 0)
+            head0 = jnp.full((FL, NB), -1, jnp.int32).at[:, 0].set(
+                jnp.where(scnt > 0, scnt - 1, -1))
+            n_open = scnt.astype(jnp.int32)
+            no_seed_hit = scnt == 0
+        pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
+        discard = (n_count > p_maxdiff) | no_seed_hit
+        return rLr, rUr, rM1r, rM2r, head0, n_open, discard
+
+    def _mm_exact(a_f32, v_i32):
+        """Exact int32 gather/expand through float32 matmuls: a has at most
+        one nonzero (1.0) per output row, so each output is a single int32
+        routed via two 16-bit halves (exact in f32)."""
+        v2 = v_i32.reshape(v_i32.shape[0], -1)
+        hi = (v2 >> 16).astype(jnp.float32)
+        lo = (v2 & 0xFFFF).astype(jnp.float32)
+        # HIGHEST precision: TPU matmuls default to bf16 passes, which would
+        # round the 16-bit halves
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        out = (mm(a_f32, hi).astype(jnp.int32) << 16) \
+            + mm(a_f32, lo).astype(jnp.int32)
+        return out.reshape((a_f32.shape[0],) + v_i32.shape[1:])
+
+    def switch_step(st_):
+        """Flush up to FL finished lanes to the per-read slabs and hand them
+        the next reads from the global counter.  All lane-state updates are
+        one-hot matmul expansions + selects and the flush is TWO packed
+        scatters — XLA scatters serialize on TPU, so none target per-lane
+        state."""
+        st_ = dict(st_)
+        fin = (st_["mode"] == MODE_DONE) & ~st_["flushed"]
+        rank = jnp.cumsum(fin.astype(jnp.int32)) - 1          # [B]
+        take = fin & (rank < FL)
+        # one-hot [B, FL]: lane b occupies flush slot rank[b]
+        frow = jnp.arange(FL, dtype=jnp.int32)[None, :]
+        oh = take[:, None] & (rank[:, None] == frow)          # [B, FL]
+        oh_f = oh.astype(jnp.float32)
+        nflush = jnp.sum(take, dtype=jnp.int32)
+        fvalid = frow[0] < nflush                             # [FL]
+
+        gat = lambda v: _mm_exact(oh_f.T, v)                  # [B,...]->[FL,...]
+        lane_f = gat(jnp.arange(B, dtype=jnp.int32))
+        rid_f = jnp.where(fvalid, gat(st_["cur"]), NR)        # drop padding
+
+        # flush the selected lanes' outputs: two packed scatters
+        fv = jnp.stack([gat(st_[k]) for k in
+                        ("o_L", "o_U", "o_score", "o_len", "o_node",
+                         "o_m1", "o_snp")], axis=1)           # [FL, 7, ACAP]
+        st_["q_alns"] = st_["q_alns"].at[rid_f].set(fv, mode="drop")
+        fm = jnp.stack([gat(st_["n_alns"]),
+                        gat(st_["overflow"].astype(jnp.int32)),
+                        lane_f], axis=1)                      # [FL, 3]
+        st_["q_meta"] = st_["q_meta"].at[rid_f].set(fm, mode="drop")
+        st_["flushed"] = st_["flushed"] | take
+
+        # refill: flush slot f gets read counter + f (prefix of valid slots)
+        new_rid = st_["counter"] + frow[0]                    # [FL]
+        get_f = fvalid & (new_rid < NR)
+        n_assign = jnp.sum(get_f, dtype=jnp.int32)
+        safe = jnp.clip(jnp.where(get_f, new_rid, 0), 0, NR - 1)
+        rc_f = rc_all[safe]                                   # [FL, Lmax]
+        len_f = lengths_all[safe]
+        D_f = D_all[safe]
+        Ds_f = Ds_all[safe]
+        sL_f = seed_L[safe].astype(jnp.int32) if HAS_SEEDS else None
+        sU_f = seed_U[safe].astype(jnp.int32) if HAS_SEEDS else None
+        scnt_f = seed_cnt[safe].astype(jnp.int32) if HAS_SEEDS else None
+        rLr, rUr, rM1r, rM2r, head0, n_open_f, discard_f = read_init_fl(
+            rc_f, len_f, sL_f, sU_f, scnt_f)
+
+        # expand the new reads back onto their lanes (one-hot matmuls +
+        # selects; slots without a new read expand nowhere)
+        ohg = oh & get_f[None, :]
+        ohg_f = ohg.astype(jnp.float32)
+        got = jnp.any(ohg, axis=1)                            # [B]
+        exp = lambda vf: _mm_exact(ohg_f, vf)                 # [FL,...]->[B,...]
+        sel = lambda k, vf: jnp.where(
+            got.reshape((B,) + (1,) * (st_[k].ndim - 1)), exp(vf), st_[k])
+        st_["rc"] = sel("rc", rc_f)
+        st_["len"] = sel("len", len_f)
+        st_["D"] = sel("D", D_f)
+        st_["Ds"] = sel("Ds", Ds_f)
+        if HAS_SEEDS:
+            st_["sL"] = sel("sL", sL_f)
+            st_["sU"] = sel("sU", sU_f)
+            st_["scnt"] = sel("scnt", scnt_f)
+        # root rows are safe to overwrite: completed chains never read root
+        # VALUES (walks stop at parent -1)
+        st_["rtL"] = sel("rtL", rLr)
+        st_["rtU"] = sel("rtU", rUr)
+        st_["rtM1"] = sel("rtM1", rM1r)
+        st_["rtM2"] = sel("rtM2", rM2r)
+        st_["head"] = sel("head", head0)
+        st_["cur"] = sel("cur", new_rid)
+        st_["n_open"] = sel("n_open", jnp.where(discard_f, 0, n_open_f))
+        st_["mode"] = sel("mode", jnp.where(discard_f, MODE_DONE,
+                                            MODE_DFS).astype(jnp.int32))
+        st_["best_score"] = jnp.where(got, worst, st_["best_score"])
+        st_["max_diff"] = jnp.where(got, p_maxdiff, st_["max_diff"])
+        st_["num_best"] = jnp.where(got, 0, st_["num_best"])
+        st_["overflow"] = jnp.where(got, False, st_["overflow"])
+        st_["n_alns"] = jnp.where(got, 0, st_["n_alns"])
+        st_["flushed"] = st_["flushed"] & ~got
+        st_["counter"] = st_["counter"] + n_assign
         return st_
 
     # --------------------------------------------------------- exact-scan step
 
     def exact_step(st_):
+        rc, Lm = st_["rc"], Lmax
         lanes = st_["mode"] == MODE_EXACT
         j = st_["x_j"]
-        c = jnp.where(lanes & (j >= 0), _pick(rc, jnp.clip(j, 0, Lmax - 1)), 4)
+        c = jnp.where(lanes & (j >= 0), _pick(rc, jnp.clip(j, 0, Lm - 1)), 4)
         if multiref:
             nL, nU, ncnt, _w, ov = expand_step(
                 didx, st_["x_L"], st_["x_U"], st_["x_cnt"], c)
@@ -308,8 +491,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         st_.update(x_L=nL, x_U=nU, x_cnt=ncnt, x_j=nj, overflow=over)
         # extra matched chars: the scan consumed (e.i) chars => path extends
         # by e.i implicit matches (inexact_match.c:365)
-        a_i = jnp.take_along_axis(st_["aM1"], st_["x_node"][:, None],
-                                  1)[:, 0] & 0xFF
+        a_i = _node_read(st_, "aM1", "rtM1", st_["x_node"]) & 0xFF
         st_ = emit_alns(st_, matched, st_["x_node"], nL, nU,
                         jnp.where(matched, ncnt, 0), a_i)
         # finished lanes resume the DFS (unless emit stopped them)
@@ -320,6 +502,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     # --------------------------------------------------------------- DFS step
 
     def dfs_step(st_):
+        rc, lengths, D, D_seed = st_["rc"], st_["len"], st_["D"], st_["Ds"]
         lanes = st_["mode"] == MODE_DFS
 
         drained = lanes & (st_["n_open"] == 0)
@@ -333,9 +516,10 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         occ = head_ >= 0
         bucket = jnp.argmax(occ, axis=1).astype(jnp.int32)
         node = jnp.where(lanes, _pick(head_, bucket), 0)
-        g = lambda arr: jnp.take_along_axis(arr, node[:, None], 1)[:, 0]
-        eL, eU = g(st_["aL"]), g(st_["aU"])
-        m1, m2 = g(st_["aM1"]), g(st_["aM2"])
+        eL = _node_read(st_, "aL", "rtL", node)
+        eU = _node_read(st_, "aU", "rtU", node)
+        m1 = _node_read(st_, "aM1", "rtM1", node)
+        m2 = _node_read(st_, "aM2", "rtM2", node)
         ei, emm, ego, ege, est, eplen = _unpack1(m1)
         esnp = m2 & 0xFF
         prev = (m2 >> 8) - 1
@@ -458,11 +642,9 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
             # match/mismatch (or exact-only continuation when mm suppressed)
             if multiref:
                 is_match = (c <= 3) & (j != C.ORDER_N) & (match_row[:, j] > 0)
-                snp_add = int(_IS_SNP[j])
                 member = (c <= 3) & (match_row[:, j] > 0) & (j != C.ORDER_N)
             else:
                 is_match = (c <= 3) & (c == j - 1)
-                snp_add = 0
                 member = is_match
             mm_branch = allow_diff & allow_mm
             ok_mm = mm_branch & nonempty
@@ -516,8 +698,7 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         st_["head"] = jnp.where(lasts >= 0, base + lasts, head2)
         candM2 = candSnp | ((prevs + 1) << 8)
         candPar = jnp.broadcast_to(node[:, None], (B, NSLOT))
-        # invalid slots still occupy rows; mark them closed via prev=-1 and
-        # they are simply never linked
+        # invalid slots still occupy rows; they are simply never linked
         dus = lambda a, v: jax.lax.dynamic_update_slice(a, v, (0, base))
         st_["aL"] = dus(st_["aL"], candL)
         st_["aU"] = dus(st_["aU"], candU)
@@ -532,10 +713,17 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     # ------------------------------------------------------------- main loop
 
     def cond(st_):
-        return (jnp.any(st_["mode"] != MODE_DONE)
-                & (st_["iters"] < cfg.max_iters))
+        alive = jnp.any(st_["mode"] != MODE_DONE)
+        if QUEUED:
+            alive = alive | (st_["counter"] < NR) \
+                | jnp.any((st_["mode"] == MODE_DONE) & ~st_["flushed"]
+                          & (jnp.arange(B) < NR))
+        return alive & (st_["iters"] < cfg.max_iters)
 
     def body(st_):
+        if QUEUED:
+            any_fin = jnp.any((st_["mode"] == MODE_DONE) & ~st_["flushed"])
+            st_ = jax.lax.cond(any_fin, switch_step, lambda s: dict(s), st_)
         any_exact = jnp.any(st_["mode"] == MODE_EXACT)
         st_ = jax.lax.cond(any_exact, exact_step, lambda s: dict(s), st_)
         st_ = dfs_step(st_)
@@ -546,17 +734,35 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
     st = jax.lax.while_loop(cond, body, state)
     timeout = st["mode"] != MODE_DONE
 
-    o_node = st["o_node"]                           # [B, ACAP]
-    m1o = jnp.take_along_axis(st["aM1"], o_node, 1)
+    if QUEUED:
+        # reads never flushed (loop cap hit) stay n_alns == -1 -> fallback
+        qa, qm = st["q_alns"], st["q_meta"]
+        m1o = qa[:, 5]
+        return dict(
+            n_alns=jnp.maximum(qm[:, 0], 0),
+            o_L=qa[:, 0], o_U=qa[:, 1], o_score=qa[:, 2],
+            o_len=qa[:, 3], o_node=qa[:, 4], o_lane=qm[:, 2],
+            o_mm=(m1o >> _SH_MM) & 0x1F,
+            o_go=(m1o >> _SH_GO) & 0x7,
+            o_ge=(m1o >> _SH_GE) & 0xF,
+            o_snp=qa[:, 6],
+            o_plen=(m1o >> _SH_PLEN) & 0x1FF,
+            overflow=(qm[:, 1] > 0) | (qm[:, 0] < 0),
+            iters=st["iters"],
+            n_pushed=st["n_pushed"],
+            parents=st["aPar"],
+        )
+
+    m1o = st["o_m1"]
     return dict(
         n_alns=st["n_alns"],
         o_L=st["o_L"], o_U=st["o_U"], o_score=st["o_score"],
         o_len=st["o_len"],
-        o_node=o_node,
+        o_node=st["o_node"],
         o_mm=(m1o >> _SH_MM) & 0x1F,
         o_go=(m1o >> _SH_GO) & 0x7,
         o_ge=(m1o >> _SH_GE) & 0xF,
-        o_snp=jnp.take_along_axis(st["aM2"], o_node, 1) & 0xFF,
+        o_snp=st["o_snp"],
         o_plen=(m1o >> _SH_PLEN) & 0x1FF,
         overflow=st["overflow"] | timeout,
         iters=st["iters"],
@@ -566,6 +772,40 @@ def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
         # (walk_paths) — states derive statically from a node's frame slot.
         parents=st["aPar"],
     )
+
+
+@partial(jax.jit, static_argnames=("params", "cfg"))
+def inexact_search(didx: DeviceIndex, rc: jax.Array, lengths: jax.Array,
+                   D: jax.Array, D_seed: jax.Array,
+                   params: AlnParams, cfg: EngineConfig,
+                   seed_L: jax.Array | None = None,
+                   seed_U: jax.Array | None = None,
+                   seed_cnt: jax.Array | None = None):
+    """Fixed-batch search: one lane per read.
+
+    Args:
+      rc:        int32 [B, Lmax] nt4 reverse-complement reads (the search
+                 operates on the RC, inexact_match.c:59-65).
+      lengths:   int32 [B].
+      D, D_seed: int32 [B, *, 2] lower bounds from engine.dbound.
+      seed_*:    optional precalc SA intervals per lane ([B, S] plus count);
+                 when given, lanes start from those entries with a PK-long
+                 all-match path (inexact_match.c:269-282).
+    """
+    return _search(didx, rc, lengths, D, D_seed, params, cfg,
+                   seed_L, seed_U, seed_cnt, lanes_B=None)
+
+
+@partial(jax.jit, static_argnames=("params", "cfg", "lanes"))
+def inexact_search_queued(didx: DeviceIndex, rc_all, lengths_all,
+                          D_all, Ds_all, params: AlnParams,
+                          cfg: EngineConfig, lanes: int,
+                          seed_L=None, seed_U=None, seed_cnt=None):
+    """Continuous-batching search: `lanes` lanes stream through all NR reads
+    (global work queue); outputs are per-read [NR, ...] slabs plus o_lane
+    (which lane's arena holds each read's parent chains)."""
+    return _search(didx, rc_all, lengths_all, D_all, Ds_all, params, cfg,
+                   seed_L, seed_U, seed_cnt, lanes_B=int(lanes))
 
 
 def slot_states(nc: int) -> np.ndarray:

@@ -27,7 +27,8 @@ from bwbble_tpu.align.params import AlnParams
 from bwbble_tpu.align.pipeline import align_read_gold
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.dbound import calc_d, calc_d_1to1
-from bwbble_tpu.engine.inexact import EngineConfig, inexact_search, walk_paths
+from bwbble_tpu.engine.inexact import (EngineConfig, inexact_search,
+                                       inexact_search_queued, walk_paths)
 from bwbble_tpu.formats.fastq import Reads
 from bwbble_tpu.gold.engine import Aln
 from bwbble_tpu.index.fmindex import FMIndex
@@ -71,7 +72,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        d_cap: int = 32, stats: dict | None = None,
                        precalc=None, seed_slots: int = 32,
                        window: int = 2, sort_reads: bool = True,
-                       first_cap: int | None = None) -> list[list[Aln]]:
+                       first_cap: int | None = None,
+                       queued: bool = False) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
@@ -79,9 +81,14 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     (inexact_match.c:50-57); reads whose seed list exceeds `seed_slots`
     fall back to the host gold engine.  `window`: batches kept in flight.
     `first_cap`: arena rows for the first escalation tier (None => single
-    tier with cfg.cap).
+    tier with cfg.cap).  `queued`: continuous batching (lanes stream reads
+    from a global queue); bit-identical results, wins on heterogeneous
+    read sets (difficulty-sorted fixed batches win on uniform ones).
     """
     cfg = cfg or EngineConfig()
+    if queued and reads.count > int(params.batch_size):
+        return _align_queued(idx, didx, reads, params, cfg, d_cap, stats,
+                             precalc, seed_slots, sort_reads)
     B = int(params.batch_size)
     nc = 11 if params.is_multiref else 4
     root_plen = int(params.precalc_len) if precalc is not None else 0
@@ -253,3 +260,137 @@ def _run_batch(didx, seq, rc, lengths, lengths_np, params, cfg, d_cap,
                              seed_cnt=seeds[2])
     dover = dov1 | (dov2 & use_seed_d)
     return res, dover
+
+
+def _align_queued(idx, didx, reads: Reads, params: AlnParams,
+                  cfg: EngineConfig, d_cap: int, stats, precalc,
+                  seed_slots: int, sort_reads: bool) -> list:
+    """Continuous batching: one engine launch streams every read through a
+    fixed set of lanes (hardest reads first — LPT scheduling), so the
+    lockstep iteration count is (total pops / lanes)-bound instead of
+    per-batch max-bound."""
+    NR = reads.count
+    lanes = min(int(params.batch_size), _pow2_at_least(NR, lo=256))
+    nc = 11 if params.is_multiref else 4
+    root_plen = int(params.precalc_len) if precalc is not None else 0
+
+    if sort_reads:
+        order = np.argsort(-difficulty_scores(didx, reads, params),
+                           kind="stable").astype(np.int64)
+    else:
+        order = np.arange(NR, dtype=np.int64)
+
+    Lmax = max(reads.max_len, 1)
+    seq = np.zeros((NR, Lmax), dtype=np.int8)
+    rc = np.zeros_like(seq)
+    seq[:, :reads.seq.shape[1]] = reads.seq[order]
+    rc[:, :reads.rc.shape[1]] = reads.rc[order]
+    lengths = reads.lengths[order].astype(np.int32)
+
+    seeds = None
+    seed_over = np.zeros((NR,), dtype=bool)
+    if precalc is not None:
+        from bwbble_tpu.align.precalc import read_indices
+        ri = read_indices(rc, lengths, k=int(params.precalc_len))
+        sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
+        seeds = (jnp.asarray(sL.astype(np.int32)),
+                 jnp.asarray(sU.astype(np.int32)), jnp.asarray(scnt))
+
+    # D/D_seed for all reads, computed in engine-sized chunks
+    seed_len = int(params.seed_length)
+    DB = lanes
+    D_parts, Ds_parts, dov_parts = [], [], []
+    for s in range(0, NR, DB):
+        e = min(s + DB, NR)
+        nb = e - s
+        sq = np.zeros((DB, Lmax), dtype=np.int8)
+        sq[:nb] = seq[s:e]
+        ln = np.zeros((DB,), dtype=np.int32)
+        ln[:nb] = lengths[s:e]
+        sqd, lnd = jnp.asarray(sq), jnp.asarray(ln)
+        if params.is_multiref:
+            D, dov1 = calc_d(didx, sqd, lnd, K=d_cap)
+        else:
+            D, dov1 = calc_d_1to1(didx, sqd, lnd)
+        use_seed = (ln > seed_len) & (seed_len > 0)
+        sl = jnp.asarray(np.where(use_seed, seed_len, 0).astype(np.int32))
+        if params.is_multiref:
+            Ds, dov2 = calc_d(didx, sqd, sl, K=d_cap,
+                              max_len=max(seed_len, 1))
+        else:
+            Ds, dov2 = calc_d_1to1(didx, sqd, sl, max_len=max(seed_len, 1))
+        Ds = jnp.where(jnp.asarray(use_seed)[:, None, None], Ds, 0)
+        D_parts.append(D[:nb])
+        Ds_parts.append(Ds[:nb])
+        dov_parts.append((dov1 | (dov2 & jnp.asarray(use_seed)))[:nb])
+    D_all = jnp.concatenate(D_parts)
+    Ds_all = jnp.concatenate(Ds_parts)
+    dover = np.concatenate([np.asarray(d) for d in dov_parts])
+
+    if seeds is None:
+        res = inexact_search_queued(didx, jnp.asarray(rc),
+                                    jnp.asarray(lengths), D_all, Ds_all,
+                                    params, cfg, lanes=lanes)
+    else:
+        res = inexact_search_queued(didx, jnp.asarray(rc),
+                                    jnp.asarray(lengths), D_all, Ds_all,
+                                    params, cfg, lanes=lanes,
+                                    seed_L=seeds[0], seed_U=seeds[1],
+                                    seed_cnt=seeds[2])
+
+    n_alns = np.asarray(res["n_alns"])
+    overflow = np.asarray(res["overflow"]) | dover | seed_over
+    o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
+
+    lanes_l, nodes_l, keys = [], [], []
+    for r in range(NR):
+        if overflow[r]:
+            continue
+        for k in range(int(n_alns[r])):
+            lanes_l.append(int(o["o_lane"][r]))
+            nodes_l.append(int(o["o_node"][r, k]))
+            keys.append((r, k))
+    paths_rev = {}
+    if keys:
+        W = len(keys)
+        Wp = _pow2_at_least(W)
+        lanes_a = np.zeros(Wp, dtype=np.int32)
+        nodes_a = np.full(Wp, -1, dtype=np.int32)
+        lanes_a[:W] = lanes_l
+        nodes_a[:W] = nodes_l
+        pathcap = cfg.pathcap or (Lmax + 32)
+        nroot = 1 if seeds is None else seeds[0].shape[1]
+        pr = np.asarray(walk_paths(
+            res["parents"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
+            nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
+        for w, key in enumerate(keys):
+            paths_rev[key] = pr[w]
+
+    n_fallback = 0
+    out: list = [None] * NR
+    for r in range(NR):
+        orig = int(order[r])
+        if overflow[r]:
+            n_fallback += 1
+            out[orig] = align_read_gold(
+                idx, reads.seq[orig], reads.rc[orig],
+                int(reads.lengths[orig]), params, precalc=precalc)
+            continue
+        alns = []
+        for k in range(int(n_alns[r])):
+            out_len = int(o["o_len"][r, k])
+            path = _reconstruct_path(paths_rev[(r, k)],
+                                     int(o["o_plen"][r, k]), out_len,
+                                     root_plen)
+            alns.append(Aln(
+                score=int(o["o_score"][r, k]), L=int(o["o_L"][r, k]),
+                U=int(o["o_U"][r, k]), num_mm=int(o["o_mm"][r, k]),
+                num_gapo=int(o["o_go"][r, k]),
+                num_gape=int(o["o_ge"][r, k]),
+                num_snps=int(o["o_snp"][r, k]) & 0xFF,
+                aln_length=out_len, path=path))
+        out[orig] = alns
+    if stats is not None:
+        stats.update(fallback_reads=n_fallback, retried_reads=0,
+                     iters=int(np.asarray(res["iters"])))
+    return out

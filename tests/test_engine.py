@@ -137,3 +137,32 @@ def test_inexact_engine_parity(world, kwargs):
                              d_cap=24, stats=stats)
     gold = align_reads_gold(idx, reads, params)
     assert dev == gold
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(max_diff=2), dict(max_diff=2, is_multiref=False),
+    dict(max_diff=3, seed_length=20),
+])
+def test_queued_engine_parity(world, kwargs):
+    """Continuous batching (lanes streaming a global read queue) must give
+    bit-identical results to per-read batching and the gold engine."""
+    idx, didx, reads = world["idx"], world["didx"], world["reads"]
+    params = AlnParams(batch_size=8, **kwargs)   # 24 reads > 8 lanes
+    cfg = EngineConfig(cap=16384, acap=32, kx=8, flush=4)
+    dev_q = align_reads_device(idx, didx, reads, params, cfg, d_cap=24,
+                               queued=True)
+    gold = align_reads_gold(idx, reads, params)
+    assert dev_q == gold
+
+
+def test_queued_engine_parity_precalc(world):
+    from bwbble_tpu.align.precalc import build_precalc_gold
+    idx, didx, reads = world["idx"], world["didx"], world["reads"]
+    params = AlnParams(batch_size=8, max_diff=2, use_precalc=True,
+                       precalc_len=4)
+    table = build_precalc_gold(idx, params, k=4)
+    cfg = EngineConfig(cap=16384, acap=32, kx=8, flush=4)
+    dev_q = align_reads_device(idx, didx, reads, params, cfg, d_cap=24,
+                               queued=True, precalc=table, seed_slots=8)
+    gold = align_reads_gold(idx, reads, params, precalc=table)
+    assert dev_q == gold
