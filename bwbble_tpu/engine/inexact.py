@@ -110,8 +110,6 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     PATHCAP = cfg.pathcap or (Lmax + 32)
     rc_all = rc_all.astype(jnp.int32)
     lengths_all = lengths_all.astype(jnp.int32)
-    DL = D_all.shape[1]
-    DSL = Ds_all.shape[1]
 
     p_mm = _int(params, "mm_score")
     p_go = _int(params, "gapo_score")
@@ -159,8 +157,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     def _node_read(st_, af, rf, node):
         """Value of a node field; ids < NROOT come from the root arrays."""
         aV = jnp.take_along_axis(st_[af], node[:, None], 1)[:, 0]
-        rV = jnp.take_along_axis(
-            st_[rf], jnp.clip(node, 0, NROOT - 1)[:, None], 1)[:, 0]
+        if NROOT == 1:
+            rV = st_[rf][:, 0]
+        else:
+            rV = jnp.take_along_axis(
+                st_[rf], jnp.clip(node, 0, NROOT - 1)[:, None], 1)[:, 0]
         return jnp.where(node < NROOT, rV, aV)
 
     # ---------------------------------------------------- per-read init logic
@@ -248,6 +249,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         x_cnt=zi,
         x_j=zi,
         x_node=zi,
+        x_m1=zi,
+        x_m2=zi,
         iters=jnp.int32(0),
         fcnt=jnp.int32(0),      # frames consumed
     )
@@ -269,13 +272,12 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
     # ------------------------------------------------------------- emissions
 
-    def emit_alns(st_, lanes, node, Ls, Us, cnt, extra_m):
+    def emit_alns(st_, lanes, node, m1, m2, Ls, Us, cnt, extra_m):
         """Record alignments for `lanes`: intervals (Ls,Us)[:cnt] in slot
-        order, path length = node.plen + extra_m.  Implements the hit /
+        order, path length = node.plen + extra_m; m1/m2 are the node's meta
+        words (callers hold them — no re-gather).  Implements the hit /
         exact-completion bookkeeping of inexact_match.c:331-375 and
         add_alignment's gap dedup (align.c:271-298)."""
-        m1 = _node_read(st_, "aM1", "rtM1", node)
-        m2 = _node_read(st_, "aM2", "rtM2", node)
         _i, mm, go, ge, _st, plen = _unpack1(m1)
         snp = m2 & 0xFF
         score = score_of(mm, go, ge)
@@ -491,8 +493,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_.update(x_L=nL, x_U=nU, x_cnt=ncnt, x_j=nj, overflow=over)
         # extra matched chars: the scan consumed (e.i) chars => path extends
         # by e.i implicit matches (inexact_match.c:365)
-        a_i = _node_read(st_, "aM1", "rtM1", st_["x_node"]) & 0xFF
-        st_ = emit_alns(st_, matched, st_["x_node"], nL, nU,
+        a_i = st_["x_m1"] & 0xFF
+        st_ = emit_alns(st_, matched, st_["x_node"], st_["x_m1"],
+                        st_["x_m2"], nL, nU,
                         jnp.where(matched, ncnt, 0), a_i)
         # finished lanes resume the DFS (unless emit stopped them)
         st_["mode"] = jnp.where(finished & (st_["mode"] == MODE_EXACT),
@@ -547,7 +550,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
         # ---- hit at i == 0 (inexact_match.c:332-344)
         hit = live & (ei == 0)
-        st_ = emit_alns(st_, hit, node, eL[:, None], eU[:, None],
+        st_ = emit_alns(st_, hit, node, m1, m2, eL[:, None], eU[:, None],
                         hit.astype(jnp.int32), zi)
         live = live & ~hit & (st_["mode"] == MODE_DFS)
 
@@ -555,6 +558,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         to_exact = live & (diff_left == 0)
         st_["mode"] = jnp.where(to_exact, MODE_EXACT, st_["mode"])
         st_["x_node"] = jnp.where(to_exact, node, st_["x_node"])
+        st_["x_m1"] = jnp.where(to_exact, m1, st_["x_m1"])
+        st_["x_m2"] = jnp.where(to_exact, m2, st_["x_m2"])
         st_["x_j"] = jnp.where(to_exact, ei - 1, st_["x_j"])
         st_["x_cnt"] = jnp.where(to_exact, 1, st_["x_cnt"])
         st_["x_L"] = jnp.where(to_exact[:, None],

@@ -8,10 +8,9 @@ Throughput structure:
   lanes);
 - batches are dispatched ahead of collection (a small in-flight window), so
   host assembly and device<->host transfers overlap the next batch's compute;
-- escalation tiers: a first pass with a small arena budget resolves typical
-  reads cheaply; stragglers are re-run from scratch on-device with the full
-  budget (per-read search is deterministic, so results are identical), and
-  only reads that still overflow fall back to the host gold engine.
+- optional escalation tiers (first_cap) and continuous batching (queued):
+  both preserve bit-exact results; see align_reads_device for when each
+  wins.  Overflowing reads always fall back to the host gold engine.
 """
 
 from __future__ import annotations

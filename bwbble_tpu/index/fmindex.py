@@ -110,6 +110,12 @@ class FMIndex:
     @classmethod
     def load(cls, path: str, load_sa: bool = True) -> "FMIndex":
         """Deserialize (load_bwt, bwt.c:90-125)."""
+        import os
+        size = os.path.getsize(path)
+        if size < (5 + 17) * 8:
+            raise ValueError(
+                f"{path}: not a .bwt file (only {size} bytes; "
+                "truncated or wrong path?)")
         with open(path, "rb") as f:
             hdr = np.frombuffer(f.read(5 * 8), dtype=_HDR_DTYPE)
             length, num_words, num_sa, num_occ, sa0 = (int(x) for x in hdr)
