@@ -17,11 +17,15 @@ every trial below uses fresh index vectors.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(label, fn, args_list, n=12):

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from bwbble_tpu import constants as C
 from bwbble_tpu.align.eval import finalize_read, pick_hits, resolve_sa_gold
 from bwbble_tpu.align.params import AlnParams
 from bwbble_tpu.formats.fasta import Annotations

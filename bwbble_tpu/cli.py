@@ -89,7 +89,7 @@ def cmd_align(argv: list[str]) -> int:
     from bwbble_tpu.formats.fastq import read_fastq
     from bwbble_tpu.index.fmindex import FMIndex
 
-    long_opts = ["engine=", "batch=", "arena="]
+    long_opts = ["engine=", "batch=", "arena=", "queued"]
     try:
         opts, args = getopt.gnu_getopt(argv, "M:O:E:n:k:o:e:l:m:t:SP",
                                        long_opts)
@@ -104,6 +104,7 @@ def cmd_align(argv: list[str]) -> int:
     engine = "device"
     batch = None
     arena = None
+    queued = False
     for o, v in opts:
         if o == "-M":
             kw["mm_score"] = int(v)
@@ -135,6 +136,8 @@ def cmd_align(argv: list[str]) -> int:
             batch = int(v)
         elif o == "--arena":
             arena = int(v)
+        elif o == "--queued":
+            queued = True
     fasta, fastq, alnf = args[0], args[1], args[2]
     if batch is not None:
         kw["batch_size"] = batch
@@ -166,7 +169,7 @@ def cmd_align(argv: list[str]) -> int:
         from bwbble_tpu.engine.pipeline import align_reads_device
         cfg = EngineConfig(cap=arena or int(params.arena_cap))
         alns = align_reads_device(idx, from_fmindex(idx), reads, params,
-                                  cfg, precalc=precalc)
+                                  cfg, precalc=precalc, queued=queued)
     print(f"Total read alignment time: {time.time() - t:.2f} sec")
     write_aln_file(alnf, alns)
     return 0

@@ -21,7 +21,6 @@ from collections import deque
 import numpy as np
 import jax.numpy as jnp
 
-from bwbble_tpu import constants as C
 from bwbble_tpu.align.params import AlnParams
 from bwbble_tpu.align.pipeline import align_read_gold
 from bwbble_tpu.engine.device_index import DeviceIndex
