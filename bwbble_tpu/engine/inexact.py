@@ -17,9 +17,16 @@ serialize on TPU) and no full-arena scans:
   onto per-lane bucket heads [B, NUM_BUCKETS] plus a per-node `prev` link:
   push = vectorized [B, NSLOT, NB] selects, pop = argmax over ~65 occupied
   flags + one gather.  Exploration order is bit-identical.
-- **Packed node words.**  A node is 5 int32s: L, U, meta1
-  (i|mm|go|ge|state|plen), meta2 (snps | prev+1 << 8), parent.  Scores are
-  recomputed from meta1 (3 multiplies) instead of stored.
+- **Packed node words.**  A node is 4 int32s: L, U, meta1
+  (i|mm|go|ge|state|plen), meta2 (snps | prev+1 << 8); the parent id is
+  stored once per frame.  Scores are recomputed from meta1 (3 multiplies)
+  instead of stored.  Nodes live in 512-byte frame ROWS (arena
+  [F, B, 128]: 23 slots x 4 words + parent id per lane-frame), so a pop is
+  one row gather on the [F*B, 128] view + a dense slot select, and a frame
+  write is one contiguous update slice.  Row gathers measure ~0.3 ns/row vs
+  ~16 ns/element for per-lane element gathers — the round-1 struct-of-
+  arrays layout spent half the loop popping nodes
+  (benchmarks/trace_search.py).
 - **Continuous batching (queue mode).**  Lockstep cost is the max over
   lanes, so fixed batches waste most lane-iterations on finished reads.
   With a read queue, a lane that finishes flushes its outputs to per-read
@@ -154,15 +161,29 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     zi = jnp.zeros((B,), jnp.int32)
     zb = jnp.zeros((B,), bool)
 
-    def _node_read(st_, af, rf, node):
-        """Value of a node field; ids < NROOT come from the root arrays."""
-        aV = jnp.take_along_axis(st_[af], node[:, None], 1)[:, 0]
+    lane_iota = jnp.arange(B, dtype=jnp.int32)
+
+    def _node_read4(st_, node):
+        """(L, U, m1, m2) of a node per lane: one 512-byte frame-ROW gather
+        (row gathers run ~50x faster than per-lane element gathers on TPU;
+        benchmarks/trace_search.py) plus a dense slot select; ids < NROOT
+        come from the packed root rows."""
+        nn = jnp.maximum(node - NROOT, 0)
+        f = nn // NSLOT
+        s = nn - f * NSLOT
+        flat = st_["aN"].reshape((NFRAME + 1) * B, 128)
+        rowv = jnp.take(flat, f * B + lane_iota, axis=0)      # [B, 128]
+        slots = rowv[:, :NSLOT * 4].reshape(B, NSLOT, 4)
+        sl1h = jnp.arange(NSLOT, dtype=jnp.int32)[None, :] == s[:, None]
+        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1)  # [B, 4]
         if NROOT == 1:
-            rV = st_[rf][:, 0]
+            rV = st_["rtN"][:, 0]
         else:
             rV = jnp.take_along_axis(
-                st_[rf], jnp.clip(node, 0, NROOT - 1)[:, None], 1)[:, 0]
-        return jnp.where(node < NROOT, rV, aV)
+                st_["rtN"], jnp.clip(node, 0, NROOT - 1)[:, None, None],
+                1)[:, 0]
+        v = jnp.where((node < NROOT)[:, None], rV, aV)
+        return v[:, 0], v[:, 1], v[:, 2], v[:, 3]
 
     # ---------------------------------------------------- per-read init logic
 
@@ -193,7 +214,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
         n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
         discard = (n_count > p_maxdiff) | no_seed_hit
-        return rL, rU, rM1, rM2, head0, n_open, discard
+        rtN = jnp.stack([rL, rU, jnp.broadcast_to(rM1, rL.shape),
+                         jnp.broadcast_to(rM2, rL.shape)], axis=2)
+        return rtN, head0, n_open, discard
 
     # ---------------------------------------------------------- initial state
     first = jnp.arange(B, dtype=jnp.int32) % NR   # queue: first B reads
@@ -209,21 +232,22 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         rc0, len0, D0, Ds0 = rc_all, lengths_all, D_all, Ds_all
         sL0, sU0, scnt0 = seed_L, seed_U, seed_cnt
 
-    rL, rU, rM1, rM2, head0, n_open0, discard0 = read_init(
-        rc0, len0, sL0, sU0, scnt0)
+    rtN0, head0, n_open0, discard0 = read_init(rc0, len0, sL0, sU0, scnt0)
 
     # root rows (node ids < NROOT) live in small dedicated arrays so queue-
     # mode read switches never scatter into the big arena planes (which
     # would break XLA's in-place aliasing of the loop carry)
-    aL = jnp.zeros((B, CAP), jnp.int32)
-    aU = jnp.zeros((B, CAP), jnp.int32)
-    aM1 = jnp.zeros((B, CAP), jnp.int32)
-    aM2 = jnp.zeros((B, CAP), jnp.int32)
-    aPar = jnp.full((B, CAP), -1, jnp.int32)
+    # Node values live in frame rows: aN[f, b, 4s..4s+3] is slot s of frame
+    # f on lane b; col NSLOT*4 holds the frame's parent node id.  A pop is
+    # then one row gather on the [F*B, 128] view; a frame write is one
+    # contiguous [1, B, 128] update slice.  (Per-lane element gathers cost
+    # ~16 ns/element vs ~0.3 ns/row for row gathers — the round-1 layout
+    # spent half the loop popping nodes.)
+    aN = jnp.zeros((NFRAME + 1, B, 128), jnp.int32)
 
     state = dict(
-        aL=aL, aU=aU, aM1=aM1, aM2=aM2, aPar=aPar, head=head0,
-        rtL=rL, rtU=rU, rtM1=rM1, rtM2=rM2,
+        aN=aN, head=head0,
+        rtN=rtN0,
         rc=rc0, len=len0, D=D0, Ds=Ds0,
         cur=first,                     # read id being processed per lane
         n_pushed=jnp.full((B,), NROOT, jnp.int32),
@@ -356,7 +380,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
         n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
         discard = (n_count > p_maxdiff) | no_seed_hit
-        return rLr, rUr, rM1r, rM2r, head0, n_open, discard
+        rtNr = jnp.stack([rLr, rUr, jnp.broadcast_to(rM1r, rLr.shape),
+                          jnp.broadcast_to(rM2r, rLr.shape)], axis=2)
+        return rtNr, head0, n_open, discard
 
     def _mm_exact(a_f32, v_i32):
         """Exact int32 gather/expand through float32 matmuls: a has at most
@@ -416,7 +442,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         sL_f = seed_L[safe].astype(jnp.int32) if HAS_SEEDS else None
         sU_f = seed_U[safe].astype(jnp.int32) if HAS_SEEDS else None
         scnt_f = seed_cnt[safe].astype(jnp.int32) if HAS_SEEDS else None
-        rLr, rUr, rM1r, rM2r, head0, n_open_f, discard_f = read_init_fl(
+        rtNr, head0, n_open_f, discard_f = read_init_fl(
             rc_f, len_f, sL_f, sU_f, scnt_f)
 
         # expand the new reads back onto their lanes (one-hot matmuls +
@@ -437,10 +463,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             st_["scnt"] = sel("scnt", scnt_f)
         # root rows are safe to overwrite: completed chains never read root
         # VALUES (walks stop at parent -1)
-        st_["rtL"] = sel("rtL", rLr)
-        st_["rtU"] = sel("rtU", rUr)
-        st_["rtM1"] = sel("rtM1", rM1r)
-        st_["rtM2"] = sel("rtM2", rM2r)
+        st_["rtN"] = sel("rtN", rtNr)
         st_["head"] = sel("head", head0)
         st_["cur"] = sel("cur", new_rid)
         st_["n_open"] = sel("n_open", jnp.where(discard_f, 0, n_open_f))
@@ -519,10 +542,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         occ = head_ >= 0
         bucket = jnp.argmax(occ, axis=1).astype(jnp.int32)
         node = jnp.where(lanes, _pick(head_, bucket), 0)
-        eL = _node_read(st_, "aL", "rtL", node)
-        eU = _node_read(st_, "aU", "rtU", node)
-        m1 = _node_read(st_, "aM1", "rtM1", node)
-        m2 = _node_read(st_, "aM2", "rtM2", node)
+        eL, eU, m1, m2 = _node_read4(st_, node)
         ei, emm, ego, ege, est, eplen = _unpack1(m1)
         esnp = m2 & 0xFF
         prev = (m2 >> 8) - 1
@@ -702,14 +722,15 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
                         axis=1) - 1                           # [B, NB]
         st_["head"] = jnp.where(lasts >= 0, base + lasts, head2)
         candM2 = candSnp | ((prevs + 1) << 8)
-        candPar = jnp.broadcast_to(node[:, None], (B, NSLOT))
         # invalid slots still occupy rows; they are simply never linked
-        dus = lambda a, v: jax.lax.dynamic_update_slice(a, v, (0, base))
-        st_["aL"] = dus(st_["aL"], candL)
-        st_["aU"] = dus(st_["aU"], candU)
-        st_["aM1"] = dus(st_["aM1"], candM1)
-        st_["aM2"] = dus(st_["aM2"], candM2)
-        st_["aPar"] = dus(st_["aPar"], candPar)
+        candN = jnp.stack([candL, candU, candM1, candM2],
+                          axis=2).reshape(B, NSLOT * 4)
+        frow = jnp.concatenate(
+            [candN, node[:, None],
+             jnp.zeros((B, 127 - NSLOT * 4), jnp.int32)], axis=1)
+        st_["aN"] = jax.lax.dynamic_update_slice(
+            st_["aN"], frow[None],
+            (jnp.minimum(st_["fcnt"], NFRAME), jnp.int32(0), jnp.int32(0)))
         st_["fcnt"] = st_["fcnt"] + any_pop.astype(jnp.int32)
         st_["n_pushed"] = st_["n_pushed"] + total
         st_["n_open"] = st_["n_open"] + total
@@ -755,7 +776,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             overflow=(qm[:, 1] > 0) | (qm[:, 0] < 0),
             iters=st["iters"],
             n_pushed=st["n_pushed"],
-            parents=st["aPar"],
+            arena=st["aN"],
         )
 
     m1o = st["o_m1"]
@@ -772,10 +793,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         overflow=st["overflow"] | timeout,
         iters=st["iters"],
         n_pushed=st["n_pushed"],
-        # parent links stay device-resident; paths of reported alignments are
+        # frame rows stay device-resident; paths of reported alignments are
         # reconstructed afterwards over a host-compacted node list
         # (walk_paths) — states derive statically from a node's frame slot.
-        parents=st["aPar"],
+        arena=st["aN"],
     )
 
 
@@ -820,23 +841,29 @@ def slot_states(nc: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("nroot", "nslot", "nc", "pathcap"))
-def walk_paths(parents: jax.Array, lanes: jax.Array, nodes: jax.Array,
+def walk_paths(arena: jax.Array, lanes: jax.Array, nodes: jax.Array,
                nroot: int, nslot: int, nc: int, pathcap: int) -> jax.Array:
     """Reverse-order state paths for a flat list of (lane, node) alignments.
 
     A node's appended state is a static function of its frame slot
-    ((node - nroot) % nslot), so only the parent pointer is gathered per
-    step.  Returns int8 [W, pathcap]; entry t is the state of the t-th
-    ancestor (the node itself first; roots contribute nothing).
+    ((node - nroot) % nslot), so only the parent id — column nslot*4 of the
+    node's frame row in `arena` [F, B, 128] — is gathered per step.
+    Returns int8 [W, pathcap]; entry t is the state of the t-th ancestor
+    (the node itself first; roots contribute nothing).
     """
     W = nodes.shape[0]
+    F, B, _ = arena.shape
+    flat = arena.reshape(F * B, arena.shape[2])
     states = jnp.asarray(slot_states(nc))
 
     def step(t, carry):
         cur, paths = carry
-        par = parents[lanes, jnp.clip(cur, 0, parents.shape[1] - 1)]
+        nn = jnp.maximum(cur - nroot, 0)
+        f = jnp.clip(nn // nslot, 0, F - 1)
+        rowv = jnp.take(flat, f * B + lanes, axis=0)
+        par = jnp.where(cur >= nroot, rowv[:, nslot * 4], -1)
         alive = (cur >= 0) & (par >= 0)
-        slot = jnp.where(cur >= nroot, (cur - nroot) % nslot, 0)
+        slot = jnp.where(cur >= nroot, nn % nslot, 0)
         stv = jnp.where(alive, states[slot], 0).astype(jnp.int8)
         paths = jax.lax.dynamic_update_slice(paths, stv[:, None], (0, t))
         return (jnp.where(alive, par, -1), paths)

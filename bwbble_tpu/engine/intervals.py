@@ -58,13 +58,19 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
     occL = occL.reshape(B, K, 16)
     occU = occU.reshape(B, K, 16)
 
-    # select the 7 candidate symbols per lane via a one-hot contraction
-    # (per-element gathers serialize on TPU; this is dense VPU work):
+    # select the 7 candidate symbols per lane: a static column gather for
+    # all 4 possible bases, then a 4-way select on c.  (The previous einsum
+    # formulation lowered to a "convolution fusion" costing ~140us per call
+    # at B=8192; static slicing + a [B,K,4,7] select is plain VPU work.)
     # cand[b,k,s] = occ[b,k,base(c[b],s)]
     c_safe = jnp.clip(c, 0, 3)
-    sel = jnp.asarray(_NUCL_ONEHOT)[c_safe]                 # [B, 7, 16]
-    candL = jnp.einsum("bkx,bsx->bks", occL, sel)           # [B, K, 7]
-    candU = jnp.einsum("bkx,bsx->bks", occU, sel)
+    idx = jnp.asarray(_NUCL)                                # [4, 7] static
+    candL_all = occL[:, :, idx]                             # [B, K, 4, 7]
+    candU_all = occU[:, :, idx]
+    c1h = c_safe[:, None, None, None] == jnp.arange(4, dtype=jnp.int32)[
+        None, None, :, None]
+    candL = jnp.sum(jnp.where(c1h, candL_all, 0), axis=2)   # [B, K, 7]
+    candU = jnp.sum(jnp.where(c1h, candU_all, 0), axis=2)
 
     slot = jnp.arange(K, dtype=jnp.int32)
     valid = ((slot[None, :, None] < cnt[:, None, None])

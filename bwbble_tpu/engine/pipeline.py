@@ -157,7 +157,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 lanes_a[:W] = lanes_l
                 nodes_a[:W] = nodes_l
                 pr = np.asarray(walk_paths(
-                    res["parents"], jnp.asarray(lanes_a),
+                    res["arena"], jnp.asarray(lanes_a),
                     jnp.asarray(nodes_a), nroot=nroot, nslot=1 + 2 * nc,
                     nc=nc, pathcap=h["pathcap"]))
                 for w, key in enumerate(keys):
@@ -359,7 +359,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
         pathcap = cfg.pathcap or (Lmax + 32)
         nroot = 1 if seeds is None else seeds[0].shape[1]
         pr = np.asarray(walk_paths(
-            res["parents"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
+            res["arena"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
             nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
         for w, key in enumerate(keys):
             paths_rev[key] = pr[w]
