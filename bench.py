@@ -69,12 +69,12 @@ def main():
 
     # warm-up: one full pass compiles every shape (batches, difficulty
     # scorer, path walk buckets)
-    align_reads_device(idx, didx, reads, params, cfg, d_cap=16, window=3)
+    align_reads_device(idx, didx, reads, params, cfg, d_cap=16, queued=True)
 
     stats: dict = {}
     t1 = time.time()
     alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
-                              stats=stats, window=3)
+                              stats=stats, queued=True)
     dt = time.time() - t1
     reads_per_sec = reads.count / dt
 

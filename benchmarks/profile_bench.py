@@ -26,8 +26,8 @@ def main():
     from bwbble_tpu.align.params import AlnParams
     from bwbble_tpu.engine.device_index import from_fmindex
     from bwbble_tpu.engine.inexact import EngineConfig, inexact_search
-    from bwbble_tpu.engine.pipeline import (align_reads_device,
-                                            difficulty_scores, _run_batch)
+    from bwbble_tpu.engine.pipeline import (align_reads_device, calc_d_all,
+                                            _run_batch)
 
     idx, reads = benchmod.build_world()
     didx = from_fmindex(idx)
@@ -45,11 +45,13 @@ def main():
     print(f"total align_reads_device: {t_total:.3f}s "
           f"({reads.count / t_total:.0f} reads/s) stats={stats}")
 
-    # ---- phase 1: difficulty scoring
+    # ---- phase 1: shared D pass
     t0 = time.time()
-    difficulty_scores(didx, reads, params)
+    D_all, Ds_all, dov = calc_d_all(didx, reads, params, batch=B, d_cap=16)
+    jax.block_until_ready((D_all, Ds_all))
     t_diff = time.time() - t0
-    print(f"difficulty_scores (K=4 calc_d all reads): {t_diff:.3f}s")
+    print(f"calc_d_all (K=2 + retries, all reads): {t_diff:.3f}s  "
+          f"dov={int(dov.sum())}")
 
     # ---- per-batch phases on the first B reads
     seq = jnp.asarray(reads.seq[:B].astype(np.int8))
@@ -66,18 +68,6 @@ def main():
         jax.block_until_ready(out)
         print(f"calc_d K={K} [B={B}]: {time.time() - t0:.3f}s  "
               f"overflow={int(np.asarray(out[1]).sum())}")
-
-    # full batch dispatch: calc_d(16) + seed calc_d + search
-    t0 = time.time()
-    res, dover = _run_batch(didx, seq, rc, lengths, lengths_np, params, cfg,
-                            d_cap=16)
-    jax.block_until_ready(res)
-    t_batch = time.time() - t0
-    iters = int(np.asarray(res["iters"]))
-    pops = int(np.asarray(res["n_pushed"]).sum())
-    print(f"_run_batch (calc_d x2 + search): {t_batch:.3f}s  "
-          f"iters={iters} total_pushed={pops} "
-          f"({t_batch / max(iters, 1) * 1e3:.3f} ms/iter upper bound)")
 
     # search alone (D precomputed)
     D, _ = calc_d(didx, seq, lengths, K=16)

@@ -90,6 +90,7 @@ class EngineConfig:
     max_iters: int = 200_000  # lockstep safety bound
     pathcap: int = 0          # reported path length bound (0 => Lmax + 32)
     flush: int = 64           # queue mode: max reads flushed per iteration
+    xsteps: int = 1           # exact-completion chars advanced per iteration
 
 
 def _int(p, name):
@@ -748,10 +749,27 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
     def body(st_):
         if QUEUED:
-            any_fin = jnp.any((st_["mode"] == MODE_DONE) & ~st_["flushed"])
-            st_ = jax.lax.cond(any_fin, switch_step, lambda s: dict(s), st_)
+            fin = (st_["mode"] == MODE_DONE) & ~st_["flushed"]
+            nfin = jnp.sum(fin, dtype=jnp.int32)
+            # flush/refill is the loop's most expensive branch: amortize it
+            # over >= GATE finished lanes mid-run, but drain promptly once
+            # the queue is empty or no lane has live work.  Lane<->read
+            # assignment changes with the gate; per-read results don't.
+            drain = ((st_["counter"] >= NR)
+                     | ~jnp.any(st_["mode"] != MODE_DONE))
+            do_sw = (nfin >= min(FL, 16)) | ((nfin > 0) & drain)
+            st_ = jax.lax.cond(do_sw, switch_step, lambda s: dict(s), st_)
         any_exact = jnp.any(st_["mode"] == MODE_EXACT)
-        st_ = jax.lax.cond(any_exact, exact_step, lambda s: dict(s), st_)
+
+        def exact_steps(s):
+            # advance exact-completion scans several chars per global
+            # iteration: per-read scans stay sequential (parity-safe), but
+            # the loop's fixed costs amortize over XS chars
+            for _ in range(max(1, int(cfg.xsteps))):
+                s = exact_step(s)
+            return s
+
+        st_ = jax.lax.cond(any_exact, exact_steps, lambda s: dict(s), st_)
         st_ = dfs_step(st_)
         st_ = dict(st_)
         st_["iters"] = st_["iters"] + 1

@@ -145,7 +145,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        precalc=None, seed_slots: int = 32,
                        window: int = 2, sort_reads: bool = True,
                        first_cap: int | None = None,
-                       queued: bool = False) -> list[list[Aln]]:
+                       queued: bool = False, qchunk: int = 2
+                       ) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
@@ -160,7 +161,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     cfg = cfg or EngineConfig()
     if queued and reads.count > int(params.batch_size):
         return _align_queued(idx, didx, reads, params, cfg, d_cap, stats,
-                             precalc, seed_slots, sort_reads)
+                             precalc, seed_slots, sort_reads, qchunk=qchunk)
     B = int(params.batch_size)
     nc = 11 if params.is_multiref else 4
     root_plen = int(params.precalc_len) if precalc is not None else 0
@@ -321,11 +322,19 @@ def _run_batch(didx, rc, lengths, params, cfg, seeds, D, Ds):
 
 def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                   cfg: EngineConfig, d_cap: int, stats, precalc,
-                  seed_slots: int, sort_reads: bool) -> list:
-    """Continuous batching: one engine launch streams every read through a
-    fixed set of lanes (hardest reads first — LPT scheduling), so the
-    lockstep iteration count is (total pops / lanes)-bound instead of
-    per-batch max-bound."""
+                  seed_slots: int, sort_reads: bool,
+                  qchunk: int = 2) -> list:
+    """Continuous batching: engine launches stream reads through a fixed
+    set of lanes (hardest reads first — LPT scheduling), so the lockstep
+    iteration count is (total pops / lanes)-bound instead of per-batch
+    max-bound.
+
+    Each launch covers qchunk*lanes reads: queue-mode arena frames are
+    consumed per pop across the WHOLE launch, so chunking keeps the frame
+    budget (cfg.cap) per-launch instead of per-run.  Reads that overflow
+    any capacity retry through the fixed-batch path (which bounds frames
+    per READ), and only persistent failures reach the host gold engine.
+    """
     NR = reads.count
     lanes = min(int(params.batch_size), _pow2_at_least(NR, lo=256))
     nc = 11 if params.is_multiref else 4
@@ -342,88 +351,114 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
         order = np.arange(NR, dtype=np.int64)
 
     Lmax = max(reads.max_len, 1)
-    rc = np.zeros((NR, Lmax), dtype=np.int8)
-    rc[:, :reads.rc.shape[1]] = reads.rc[order]
-    lengths = reads.lengths[order].astype(np.int32)
+    rc_all = np.zeros((NR, Lmax), dtype=np.int8)
+    rc_all[:, :reads.rc.shape[1]] = reads.rc[order]
+    len_all = reads.lengths[order].astype(np.int32)
 
-    seeds = None
+    seeds_all = None
     seed_over = np.zeros((NR,), dtype=bool)
     if precalc is not None:
         from bwbble_tpu.align.precalc import read_indices
-        ri = read_indices(rc, lengths, k=int(params.precalc_len))
+        ri = read_indices(rc_all, len_all, k=int(params.precalc_len))
         sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
-        seeds = (jnp.asarray(sL.astype(np.int32)),
-                 jnp.asarray(sU.astype(np.int32)), jnp.asarray(scnt))
+        seeds_all = (sL.astype(np.int32), sU.astype(np.int32), scnt)
 
     orderj = jnp.asarray(order.astype(np.int32))
-    D_all = jnp.take(Dr_all, orderj, axis=0)
-    Ds_all = jnp.take(Dsr_all, orderj, axis=0)
+    D_ord = jnp.take(Dr_all, orderj, axis=0)
+    Ds_ord = jnp.take(Dsr_all, orderj, axis=0)
     dover = dov_raw[order]
 
-    if seeds is None:
-        res = inexact_search_queued(didx, jnp.asarray(rc),
-                                    jnp.asarray(lengths), D_all, Ds_all,
-                                    params, cfg, lanes=lanes)
-    else:
-        res = inexact_search_queued(didx, jnp.asarray(rc),
-                                    jnp.asarray(lengths), D_all, Ds_all,
-                                    params, cfg, lanes=lanes,
-                                    seed_L=seeds[0], seed_U=seeds[1],
-                                    seed_cnt=seeds[2])
-
-    n_alns = np.asarray(res["n_alns"])
-    overflow = np.asarray(res["overflow"]) | dover | seed_over
-    o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
-
-    lanes_l, nodes_l, keys = [], [], []
-    for r in range(NR):
-        if overflow[r]:
-            continue
-        for k in range(int(n_alns[r])):
-            lanes_l.append(int(o["o_lane"][r]))
-            nodes_l.append(int(o["o_node"][r, k]))
-            keys.append((r, k))
-    paths_rev = {}
-    if keys:
-        W = len(keys)
-        Wp = _pow2_at_least(W)
-        lanes_a = np.zeros(Wp, dtype=np.int32)
-        nodes_a = np.full(Wp, -1, dtype=np.int32)
-        lanes_a[:W] = lanes_l
-        nodes_a[:W] = nodes_l
-        pathcap = cfg.pathcap or (Lmax + 32)
-        nroot = 1 if seeds is None else seeds[0].shape[1]
-        pr = np.asarray(walk_paths(
-            res["arena"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
-            nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
-        for w, key in enumerate(keys):
-            paths_rev[key] = pr[w]
-
-    n_fallback = 0
+    Q = min(NR, max(1, int(qchunk)) * lanes)
+    pathcap = cfg.pathcap or (Lmax + 32)
+    nroot = 1 if seeds_all is None else seeds_all[0].shape[1]
     out: list = [None] * NR
-    for r in range(NR):
-        orig = int(order[r])
-        if overflow[r]:
-            n_fallback += 1
-            out[orig] = align_read_gold(
-                idx, reads.seq[orig], reads.rc[orig],
-                int(reads.lengths[orig]), params, precalc=precalc)
-            continue
-        alns = []
-        for k in range(int(n_alns[r])):
-            out_len = int(o["o_len"][r, k])
-            path = _reconstruct_path(paths_rev[(r, k)],
-                                     int(o["o_plen"][r, k]), out_len,
-                                     root_plen)
-            alns.append(Aln(
-                score=int(o["o_score"][r, k]), L=int(o["o_L"][r, k]),
-                U=int(o["o_U"][r, k]), num_mm=int(o["o_mm"][r, k]),
-                num_gapo=int(o["o_go"][r, k]),
-                num_gape=int(o["o_ge"][r, k]),
-                num_snps=int(o["o_snp"][r, k]) & 0xFF,
-                aln_length=out_len, path=path))
-        out[orig] = alns
+    failed: list[int] = []
+    iters_total = 0
+    for cs in range(0, NR, Q):
+        ce = min(cs + Q, NR)
+        nb = ce - cs
+        if nb < Q:
+            # pad with copies of the chunk's last (easiest) read so every
+            # launch shares one compiled shape; padding rows are ignored
+            pad = np.concatenate([np.arange(cs, ce),
+                                  np.full(Q - nb, ce - 1)]).astype(np.int64)
+        else:
+            pad = np.arange(cs, ce, dtype=np.int64)
+        padj = jnp.asarray(pad.astype(np.int32))
+        kw = {}
+        if seeds_all is not None:
+            kw = dict(seed_L=jnp.asarray(seeds_all[0][pad]),
+                      seed_U=jnp.asarray(seeds_all[1][pad]),
+                      seed_cnt=jnp.asarray(seeds_all[2][pad]))
+        res = inexact_search_queued(
+            didx, jnp.asarray(rc_all[pad]), jnp.asarray(len_all[pad]),
+            jnp.take(D_ord, padj, axis=0), jnp.take(Ds_ord, padj, axis=0),
+            params, cfg, lanes=lanes, **kw)
+        iters_total += int(np.asarray(res["iters"]))
+        n_alns = np.asarray(res["n_alns"])[:nb]
+        overflow = (np.asarray(res["overflow"])[:nb]
+                    | dover[cs:ce] | seed_over[cs:ce])
+        o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
+
+        lanes_l, nodes_l, keys = [], [], []
+        for r in range(nb):
+            if overflow[r]:
+                continue
+            for k in range(int(n_alns[r])):
+                lanes_l.append(int(o["o_lane"][r]))
+                nodes_l.append(int(o["o_node"][r, k]))
+                keys.append((r, k))
+        paths_rev = {}
+        if keys:
+            W = len(keys)
+            Wp = _pow2_at_least(W)
+            lanes_a = np.zeros(Wp, dtype=np.int32)
+            nodes_a = np.full(Wp, -1, dtype=np.int32)
+            lanes_a[:W] = lanes_l
+            nodes_a[:W] = nodes_l
+            pr = np.asarray(walk_paths(
+                res["arena"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
+                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
+            for w, key in enumerate(keys):
+                paths_rev[key] = pr[w]
+
+        for r in range(nb):
+            orig = int(order[cs + r])
+            if overflow[r]:
+                failed.append(orig)
+                continue
+            alns = []
+            for k in range(int(n_alns[r])):
+                out_len = int(o["o_len"][r, k])
+                path = _reconstruct_path(paths_rev[(r, k)],
+                                         int(o["o_plen"][r, k]), out_len,
+                                         root_plen)
+                alns.append(Aln(
+                    score=int(o["o_score"][r, k]), L=int(o["o_L"][r, k]),
+                    U=int(o["o_U"][r, k]), num_mm=int(o["o_mm"][r, k]),
+                    num_gapo=int(o["o_go"][r, k]),
+                    num_gape=int(o["o_ge"][r, k]),
+                    num_snps=int(o["o_snp"][r, k]) & 0xFF,
+                    aln_length=out_len, path=path))
+            out[orig] = alns
+
+    n_retry = len(failed)
+    n_fallback = 0
+    if failed:
+        fi = np.array(failed, dtype=np.int64)
+        sub = Reads(names=[reads.names[i] for i in failed],
+                    seq=reads.seq[fi], rc=reads.rc[fi],
+                    qual=[reads.qual[i] for i in failed],
+                    lengths=reads.lengths[fi])
+        sub_stats: dict = {}
+        sub_out = align_reads_device(
+            idx, didx, sub, params, cfg, d_cap=d_cap, stats=sub_stats,
+            precalc=precalc, seed_slots=seed_slots, sort_reads=False,
+            queued=False)
+        for i, r in zip(failed, sub_out):
+            out[i] = r
+        n_fallback = sub_stats.get("fallback_reads", 0)
     if stats is not None:
-        stats.update(fallback_reads=n_fallback, retried_reads=0,
-                     iters=int(np.asarray(res["iters"])))
+        stats.update(fallback_reads=n_fallback, retried_reads=n_retry,
+                     iters=iters_total)
     return out
