@@ -89,7 +89,7 @@ def cmd_align(argv: list[str]) -> int:
     from bwbble_tpu.formats.fastq import read_fastq
     from bwbble_tpu.index.fmindex import FMIndex
 
-    long_opts = ["engine=", "batch=", "arena=", "queued"]
+    long_opts = ["engine=", "batch=", "arena=", "queued", "mesh="]
     try:
         opts, args = getopt.gnu_getopt(argv, "M:O:E:n:k:o:e:l:m:t:SP",
                                        long_opts)
@@ -105,6 +105,7 @@ def cmd_align(argv: list[str]) -> int:
     batch = None
     arena = None
     queued = False
+    mesh_spec = None
     for o, v in opts:
         if o == "-M":
             kw["mm_score"] = int(v)
@@ -138,6 +139,8 @@ def cmd_align(argv: list[str]) -> int:
             arena = int(v)
         elif o == "--queued":
             queued = True
+        elif o == "--mesh":
+            mesh_spec = v
     fasta, fastq, alnf = args[0], args[1], args[2]
     if batch is not None:
         kw["batch_size"] = batch
@@ -168,8 +171,17 @@ def cmd_align(argv: list[str]) -> int:
         from bwbble_tpu.engine.inexact import EngineConfig
         from bwbble_tpu.engine.pipeline import align_reads_device
         cfg = EngineConfig(cap=arena or int(params.arena_cap))
+        mesh = None
+        if mesh_spec is not None:
+            # --mesh DP[,TP]: run the full sharded pipeline over a device
+            # mesh (dp = read data-parallelism, tp = index range-sharding);
+            # output is byte-identical to single-device alignment
+            from bwbble_tpu.parallel.shard import make_mesh
+            parts = [int(x) for x in mesh_spec.split(",")]
+            mesh = make_mesh(parts[0], parts[1] if len(parts) > 1 else 1)
         alns = align_reads_device(idx, from_fmindex(idx), reads, params,
-                                  cfg, precalc=precalc, queued=queued)
+                                  cfg, precalc=precalc, queued=queued,
+                                  mesh=mesh)
     print(f"Total read alignment time: {time.time() - t:.2f} sec")
     write_aln_file(alnf, alns)
     return 0

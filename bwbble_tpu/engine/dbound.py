@@ -25,17 +25,18 @@ from bwbble_tpu.engine.rank import rank1_pair
 @partial(jax.jit, static_argnames=("K", "max_len"))
 def calc_d(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
            K: int = 32, max_len: int | None = None):
-    """Multi-genome D bounds.  Returns (D int32 [B, max_len+1, 2], overflow)."""
+    """Multi-genome D bounds.  Returns (D [B, max_len+1, 2] in the index
+    dtype, overflow); D[b, t] = (num_diff, sa_intv_width)."""
     seq = seq.astype(jnp.int32)
     B, Lmax = seq.shape
     max_len = Lmax if max_len is None else max_len
     full_w = didx.length  # (length-1) - 0 + 1
 
-    D0 = jnp.zeros((B, max_len + 1, 2), dtype=jnp.int32)
-    Ls0 = jnp.zeros((B, K), dtype=jnp.int32)
-    Us0 = jnp.full((B, K), -1, dtype=jnp.int32).at[:, 0].set(didx.length - 1)
+    D0 = jnp.zeros((B, max_len + 1, 2), dtype=didx.idt)
+    Ls0 = jnp.zeros((B, K), dtype=didx.idt)
+    Us0 = jnp.full((B, K), -1, dtype=didx.idt).at[:, 0].set(didx.length - 1)
     cnt0 = jnp.ones((B,), dtype=jnp.int32)
-    z0 = jnp.zeros((B,), dtype=jnp.int32)
+    z0 = jnp.zeros((B,), dtype=didx.idt)
     over0 = jnp.zeros((B,), dtype=bool)
 
     def body(s, state):
@@ -54,7 +55,8 @@ def calc_d(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
         ncnt = jnp.where(empty, 1, ncnt)
         w = jnp.where(empty, full_w, w)
         old = jax.lax.dynamic_slice_in_dim(D, s, 1, axis=1)[:, 0, :]
-        row = jnp.where(active[:, None], jnp.stack([nz, w], axis=1), old)
+        row = jnp.where(active[:, None],
+                        jnp.stack([nz, w.astype(nz.dtype)], axis=1), old)
         D = jax.lax.dynamic_update_slice_in_dim(D, row[:, None, :], s, axis=1)
         keep = ~active
         Ls = jnp.where(keep[:, None], Ls, nLs)
@@ -81,7 +83,7 @@ def calc_d_1to1(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
     max_len = Lmax if max_len is None else max_len
     gray = jnp.asarray(np.array(C.NT4_GRAY, dtype=np.int32))
 
-    D0 = jnp.zeros((B, max_len + 1, 2), dtype=jnp.int32)
+    D0 = jnp.zeros((B, max_len + 1, 2), dtype=didx.idt)
 
     def body(s, state):
         D, L, U, z = state
@@ -107,10 +109,10 @@ def calc_d_1to1(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
         z = jnp.where(active, nz, z)
         return D, L, U, z
 
-    L0 = jnp.zeros((B,), dtype=jnp.int32)
-    U0 = jnp.full((B,), didx.length - 1, dtype=jnp.int32)
+    L0 = jnp.zeros((B,), dtype=didx.idt)
+    U0 = jnp.full((B,), didx.length - 1, dtype=didx.idt)
     D, L, U, z = jax.lax.fori_loop(0, min(Lmax, max_len), body,
-                                   (D0, L0, U0, jnp.zeros((B,), jnp.int32)))
+                                   (D0, L0, U0, jnp.zeros((B,), didx.idt)))
     tail = jnp.stack([z + 1, jnp.zeros_like(z)], axis=1)
     D = D.at[jnp.arange(B), jnp.clip(lengths, 0, max_len)].set(tail)
     return D, jnp.zeros((B,), dtype=bool)

@@ -9,9 +9,19 @@ checkpoints are an int32 [num_blocks, 16] plane gathered alongside.
 A bit-plane layout (4 uint32 words x 4 planes per block + popcount) is
 provided for the Pallas fast path; both layouts carry identical information.
 
-Indices are int32: genomes up to 2^31 positions (fwd+RC) per shard.  Larger
-references are handled by range-sharding the index across devices (see
-bwbble_tpu.parallel), keeping per-shard offsets within int32.
+Index arithmetic is dtype-parameterized (the reference is built on
+bwtint_t = uint64, common.h:6):
+- int32 mode (default): genomes up to 2^31 positions (fwd+RC); fused rows
+  are 128 bytes (16 plane words + 16 checkpoint counts).
+- int64 mode (use_int64, or automatic at length >= 2^31): checkpoint counts
+  split into lo/hi int32 columns (rows widen to 192 bytes, still ONE row
+  gather per rank query); C/SA/positions and all interval math run in
+  int64.  Requires JAX x64 (JAX_ENABLE_X64=1).  TPUs emulate int64 with
+  int32 pairs, so the int32 fast path remains the default.
+
+Larger-than-HBM references are additionally handled by range-sharding the
+index across devices (see bwbble_tpu.parallel), keeping per-shard offsets
+small.
 """
 
 from __future__ import annotations
@@ -42,12 +52,14 @@ class DeviceIndex:
     #                 XNOR-AND + population_count answers a 16-char rank with
     #                 64 popcounts (~10x less VPU work than an int8 one-hot
     #                 scan, 0.5 B/position).
-    #   cols 16..31 — occurrence-checkpoint counts for the 16 symbols.
-    table: jax.Array       # int32 [num_blocks, 32]
-    Carr: jax.Array        # int32 [17] prefix counts
-    sa_samples: jax.Array  # int32 [num_sa] SA values every SA_INTERVAL
-    length: jax.Array      # int32 scalar: BWT length
-    sa0: jax.Array         # int32 scalar: sentinel row
+    #   cols 16..31 — occurrence-checkpoint counts for the 16 symbols
+    #                  (int64 mode: low 32 bits; cols 32..47 hold the high
+    #                  32 bits so a rank query is still one row gather).
+    table: jax.Array       # int32 [num_blocks, 32 or 48]
+    Carr: jax.Array        # int32|int64 [17] prefix counts
+    sa_samples: jax.Array  # int32|int64 [num_sa] SA values every SA_INTERVAL
+    length: jax.Array      # int32|int64 scalar: BWT length
+    sa0: jax.Array         # int32|int64 scalar: sentinel row
     # When set (inside shard_map), `table` holds only this device's
     # contiguous block range; rank gathers mask misses and psum over this
     # mesh axis (the TP analog: index range-sharded across chips, rank
@@ -58,6 +70,11 @@ class DeviceIndex:
     @property
     def num_blocks(self) -> int:
         return self.table.shape[0]
+
+    @property
+    def idt(self):
+        """Index arithmetic dtype (int32 fast path / int64 whole-genome)."""
+        return self.Carr.dtype
 
 
 def build_planes(blocks: np.ndarray) -> np.ndarray:
@@ -72,22 +89,44 @@ def build_planes(blocks: np.ndarray) -> np.ndarray:
     return planes.reshape(nb, 16).view(np.int32)
 
 
-def from_fmindex(idx: FMIndex) -> DeviceIndex:
-    if idx.length >= 2**31:
+def from_fmindex(idx: FMIndex, use_int64: bool | None = None) -> DeviceIndex:
+    """Device layout for an FM-index.
+
+    use_int64: force 64-bit index arithmetic (None = automatic when the
+    index exceeds int32 positions).  The reference's whole-genome
+    configuration (bwtint_t = uint64, common.h:6; fwd+RC of GRCh37 is
+    ~6.2e9 positions) needs this; requires JAX x64 mode.
+    """
+    if use_int64 is None:
+        use_int64 = idx.length >= 2**31
+    if use_int64 and not jax.config.jax_enable_x64:
         raise ValueError(
-            "single-shard DeviceIndex requires length < 2^31; "
-            "use a range-sharded index for whole-genome scale")
+            "int64 index arithmetic requires JAX x64 mode "
+            "(set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', "
+            "True))")
+    if not use_int64 and idx.length >= 2**31:
+        raise ValueError(
+            "index has >= 2^31 positions: build with use_int64=True "
+            "(or range-shard it; see bwbble_tpu.parallel)")
     num_blocks = -(-idx.length // BLK)
     blocks = np.zeros((num_blocks, BLK), dtype=np.int8)
     flat = blocks.reshape(-1)
     flat[:idx.length] = idx.bwt
-    table = np.concatenate(
-        [build_planes(blocks).view(np.int32),
-         idx.occ.astype(np.int32)], axis=1)
+    planes = build_planes(blocks).view(np.int32)
+    occ = idx.occ.astype(np.int64)
+    if use_int64:
+        table = np.concatenate(
+            [planes,
+             (occ & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+             (occ >> 32).astype(np.int32)], axis=1)
+        idt = np.int64
+    else:
+        table = np.concatenate([planes, occ.astype(np.int32)], axis=1)
+        idt = np.int32
     return DeviceIndex(
         table=jnp.asarray(table),
-        Carr=jnp.asarray(idx.Carr.astype(np.int32)),
-        sa_samples=jnp.asarray(idx.sa.astype(np.int32)),
-        length=jnp.int32(idx.length),
-        sa0=jnp.int32(idx.sa0),
+        Carr=jnp.asarray(idx.Carr.astype(idt)),
+        sa_samples=jnp.asarray(idx.sa.astype(idt)),
+        length=jnp.asarray(idt(idx.length)),
+        sa0=jnp.asarray(idt(idx.sa0)),
     )

@@ -30,8 +30,8 @@ def exact_search(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array,
     """
     seq = seq.astype(jnp.int32)
     B, Lmax = seq.shape
-    Ls0 = jnp.zeros((B, K), dtype=jnp.int32)
-    Us0 = jnp.full((B, K), -1, dtype=jnp.int32)
+    Ls0 = jnp.zeros((B, K), dtype=didx.idt)
+    Us0 = jnp.full((B, K), -1, dtype=didx.idt)
     Us0 = Us0.at[:, 0].set(didx.length - 1)
     cnt0 = jnp.ones((B,), dtype=jnp.int32)
     over0 = jnp.zeros((B,), dtype=bool)
@@ -78,8 +78,8 @@ def exact_search_1to1(didx: DeviceIndex, seq: jax.Array, lengths: jax.Array):
         dead = active & (is_n | (nL > nU))
         return (jnp.where(ok, nL, L), jnp.where(ok, nU, U), alive & ~dead)
 
-    L0 = jnp.zeros((B,), dtype=jnp.int32)
-    U0 = jnp.full((B,), didx.length - 1, dtype=jnp.int32)
+    L0 = jnp.zeros((B,), dtype=didx.idt)
+    U0 = jnp.full((B,), didx.length - 1, dtype=didx.idt)
     L, U, alive = jax.lax.fori_loop(
         0, Lmax, body, (L0, U0, jnp.ones((B,), dtype=bool)))
     return L, U, alive

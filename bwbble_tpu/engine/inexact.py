@@ -115,6 +115,14 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     QUEUED = lanes_B is not None
     B = lanes_B if QUEUED else NR
     ACAP, KX, FL = cfg.acap, cfg.kx, cfg.flush
+    IDT = didx.idt                     # interval/position dtype (i32 / i64)
+    X64 = IDT == jnp.int64
+    if QUEUED and X64:
+        raise NotImplementedError(
+            "queue mode packs node words through int32 slabs; use fixed "
+            "batching (queued=False) with an int64 index")
+    # node payload: L, U (1 or 2 words each) + meta1 + meta2
+    NW = 6 if X64 else 4
     PATHCAP = cfg.pathcap or (Lmax + 32)
     rc_all = rc_all.astype(jnp.int32)
     lengths_all = lengths_all.astype(jnp.int32)
@@ -150,6 +158,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     assert (CAP - NROOT) // NSLOT >= 2, \
         f"cfg.cap={CAP} too small: need >= {NROOT + 2 * NSLOT} rows"
     NFRAME = (CAP - NROOT) // NSLOT - 1
+    ROWW = 256 if X64 else 128         # frame-row width (NSLOT*NW+1 padded)
+    assert NSLOT * NW + 1 <= ROWW
     NB = ((p_maxdiff + 1) * p_mm + (p_maxgapo + 1) * p_go
           + (p_maxgape + 1) * p_ge)     # score bucket count (heap_init)
     worst = NB
@@ -160,7 +170,26 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     col_b = jnp.arange(NB, dtype=jnp.int32)[None, :]        # bucket columns
     col_a = jnp.arange(ACAP, dtype=jnp.int32)[None, :]      # aln columns
     zi = jnp.zeros((B,), jnp.int32)
+    zv = jnp.zeros((B,), IDT)
     zb = jnp.zeros((B,), bool)
+
+    def _pack_nodes(L, U, m1, m2):
+        """[B, S] node fields -> [B, S, NW] int32 words (L/U bitcast-split
+        into lo/hi pairs in int64 mode)."""
+        if X64:
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(L, jnp.int32),
+                 jax.lax.bitcast_convert_type(U, jnp.int32),
+                 m1[..., None], m2[..., None]], axis=2)
+        return jnp.stack([L, U, m1, m2], axis=2)
+
+    def _unpack_nodes(v):
+        """[B, NW] int32 words -> (L, U, m1, m2)."""
+        if X64:
+            L = jax.lax.bitcast_convert_type(v[:, 0:2], jnp.int64)
+            U = jax.lax.bitcast_convert_type(v[:, 2:4], jnp.int64)
+            return L, U, v[:, 4], v[:, 5]
+        return v[:, 0], v[:, 1], v[:, 2], v[:, 3]
 
     lane_iota = jnp.arange(B, dtype=jnp.int32)
 
@@ -172,19 +201,18 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         nn = jnp.maximum(node - NROOT, 0)
         f = nn // NSLOT
         s = nn - f * NSLOT
-        flat = st_["aN"].reshape((NFRAME + 1) * B, 128)
-        rowv = jnp.take(flat, f * B + lane_iota, axis=0)      # [B, 128]
-        slots = rowv[:, :NSLOT * 4].reshape(B, NSLOT, 4)
+        flat = st_["aN"].reshape((NFRAME + 1) * B, ROWW)
+        rowv = jnp.take(flat, f * B + lane_iota, axis=0)      # [B, ROWW]
+        slots = rowv[:, :NSLOT * NW].reshape(B, NSLOT, NW)
         sl1h = jnp.arange(NSLOT, dtype=jnp.int32)[None, :] == s[:, None]
-        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1)  # [B, 4]
+        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1)  # [B, NW]
         if NROOT == 1:
             rV = st_["rtN"][:, 0]
         else:
             rV = jnp.take_along_axis(
                 st_["rtN"], jnp.clip(node, 0, NROOT - 1)[:, None, None],
                 1)[:, 0]
-        v = jnp.where((node < NROOT)[:, None], rV, aV)
-        return v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+        return _unpack_nodes(jnp.where((node < NROOT)[:, None], rV, aV))
 
     # ---------------------------------------------------- per-read init logic
 
@@ -192,8 +220,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         """Root-node rows (NROOT per lane), initial heads, open counts, and
         the up-front N-count discard (inexact_match.c:259-266)."""
         if not HAS_SEEDS:
-            rL = jnp.zeros((B, NROOT), jnp.int32)
-            rU = jnp.full((B, NROOT), didx.length - 1, jnp.int32)
+            rL = jnp.zeros((B, NROOT), IDT)
+            rU = jnp.full((B, NROOT), didx.length - 1, IDT)
             rM1 = _pack1(lengths, 0, 0, 0, C.STATE_M, 0)[:, None]
             rM2 = jnp.zeros((B, NROOT), jnp.int32)
             head0 = jnp.full((B, NB), -1, jnp.int32).at[:, 0].set(0)
@@ -202,8 +230,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         else:
             slot = jnp.arange(NROOT, dtype=jnp.int32)[None, :]
             live = slot < scnt[:, None]
-            rL = jnp.where(live, sL.astype(jnp.int32), 0)
-            rU = jnp.where(live, sU.astype(jnp.int32), -1)
+            rL = jnp.where(live, sL.astype(IDT), 0)
+            rU = jnp.where(live, sU.astype(IDT), -1)
             rM1 = jnp.where(live, _pack1((lengths - PK)[:, None], 0, 0, 0,
                                          C.STATE_M, PK), 0)
             # LIFO chain within bucket 0: slot s links to s-1
@@ -215,8 +243,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         pos = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
         n_count = jnp.sum((rc > 3) & (pos < lengths[:, None]), axis=1)
         discard = (n_count > p_maxdiff) | no_seed_hit
-        rtN = jnp.stack([rL, rU, jnp.broadcast_to(rM1, rL.shape),
-                         jnp.broadcast_to(rM2, rL.shape)], axis=2)
+        rtN = _pack_nodes(rL, rU, jnp.broadcast_to(rM1, rL.shape),
+                          jnp.broadcast_to(rM2, rL.shape))
         return rtN, head0, n_open, discard
 
     # ---------------------------------------------------------- initial state
@@ -244,7 +272,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     # contiguous [1, B, 128] update slice.  (Per-lane element gathers cost
     # ~16 ns/element vs ~0.3 ns/row for row gathers — the round-1 layout
     # spent half the loop popping nodes.)
-    aN = jnp.zeros((NFRAME + 1, B, 128), jnp.int32)
+    aN = jnp.zeros((NFRAME + 1, B, ROWW), jnp.int32)
 
     state = dict(
         aN=aN, head=head0,
@@ -257,11 +285,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
                        MODE_DFS).astype(jnp.int32),
         best_score=jnp.full((B,), worst, jnp.int32),
         max_diff=jnp.full((B,), p_maxdiff, jnp.int32),
-        num_best=zi,
+        num_best=zv,
         overflow=zb,
         # per-lane alignment scratch (flushed per read in queue mode)
-        o_L=jnp.zeros((B, ACAP), jnp.int32),
-        o_U=jnp.zeros((B, ACAP), jnp.int32),
+        o_L=jnp.zeros((B, ACAP), IDT),
+        o_U=jnp.zeros((B, ACAP), IDT),
         o_score=jnp.zeros((B, ACAP), jnp.int32),
         o_len=jnp.zeros((B, ACAP), jnp.int32),
         o_node=jnp.zeros((B, ACAP), jnp.int32),
@@ -269,8 +297,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         o_snp=jnp.zeros((B, ACAP), jnp.int32),
         n_alns=zi,
         # exact-completion scan
-        x_L=jnp.zeros((B, KX), jnp.int32),
-        x_U=jnp.full((B, KX), -1, jnp.int32),
+        x_L=jnp.zeros((B, KX), IDT),
+        x_U=jnp.full((B, KX), -1, IDT),
         x_cnt=zi,
         x_j=zi,
         x_node=zi,
@@ -315,7 +343,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
         width = jnp.sum(jnp.where(
             jnp.arange(Ls.shape[1], dtype=jnp.int32)[None, :] < cnt[:, None],
-            Us - Ls + 1, 0), axis=1)
+            Us - Ls + 1, 0), axis=1, dtype=IDT)
         is_best = score == best_score
         num_best = st_["num_best"] + jnp.where(lanes & is_best, width, 0)
         # suboptimal hit with enough best hits already => stop this read
@@ -499,8 +527,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             L1 = Cc + occL + 1
             U1 = Cc + occU
             dead = is_n | (L1 > U1)
-            nL = st_["x_L"].at[:, 0].set(jnp.where(dead, 0, L1))
-            nU = st_["x_U"].at[:, 0].set(jnp.where(dead, -1, U1))
+            nL = st_["x_L"].at[:, 0].set(jnp.where(dead, 0, L1).astype(IDT))
+            nU = st_["x_U"].at[:, 0].set(jnp.where(dead, -1, U1).astype(IDT))
             ncnt = jnp.where(dead, 0, 1)
             ov = zb
         adv = lanes
@@ -584,10 +612,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["x_j"] = jnp.where(to_exact, ei - 1, st_["x_j"])
         st_["x_cnt"] = jnp.where(to_exact, 1, st_["x_cnt"])
         st_["x_L"] = jnp.where(to_exact[:, None],
-                               jnp.zeros((B, KX), jnp.int32)
+                               jnp.zeros((B, KX), IDT)
                                .at[:, 0].set(eL), st_["x_L"])
         st_["x_U"] = jnp.where(to_exact[:, None],
-                               jnp.full((B, KX), -1, jnp.int32)
+                               jnp.full((B, KX), -1, IDT)
                                .at[:, 0].set(eU), st_["x_U"])
         live = live & ~to_exact
 
@@ -628,8 +656,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         is_M = est == C.STATE_M
         ind_ok = allow_diff & allow_indels
 
-        candL = jnp.zeros((B, NSLOT), jnp.int32)
-        candU = jnp.zeros((B, NSLOT), jnp.int32)
+        candL = jnp.zeros((B, NSLOT), IDT)
+        candU = jnp.zeros((B, NSLOT), IDT)
         candM1 = jnp.zeros((B, NSLOT), jnp.int32)
         candSc = jnp.zeros((B, NSLOT), jnp.int32)
         valid = jnp.zeros((B, NSLOT), bool)
@@ -724,11 +752,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["head"] = jnp.where(lasts >= 0, base + lasts, head2)
         candM2 = candSnp | ((prevs + 1) << 8)
         # invalid slots still occupy rows; they are simply never linked
-        candN = jnp.stack([candL, candU, candM1, candM2],
-                          axis=2).reshape(B, NSLOT * 4)
+        candN = _pack_nodes(candL, candU, candM1,
+                            candM2).reshape(B, NSLOT * NW)
         frow = jnp.concatenate(
             [candN, node[:, None],
-             jnp.zeros((B, 127 - NSLOT * 4), jnp.int32)], axis=1)
+             jnp.zeros((B, ROWW - 1 - NSLOT * NW), jnp.int32)], axis=1)
         st_["aN"] = jax.lax.dynamic_update_slice(
             st_["aN"], frow[None],
             (jnp.minimum(st_["fcnt"], NFRAME), jnp.int32(0), jnp.int32(0)))
@@ -858,14 +886,16 @@ def slot_states(nc: int) -> np.ndarray:
                     dtype=np.int8)
 
 
-@partial(jax.jit, static_argnames=("nroot", "nslot", "nc", "pathcap"))
+@partial(jax.jit, static_argnames=("nroot", "nslot", "nc", "pathcap", "nw"))
 def walk_paths(arena: jax.Array, lanes: jax.Array, nodes: jax.Array,
-               nroot: int, nslot: int, nc: int, pathcap: int) -> jax.Array:
+               nroot: int, nslot: int, nc: int, pathcap: int,
+               nw: int = 4) -> jax.Array:
     """Reverse-order state paths for a flat list of (lane, node) alignments.
 
     A node's appended state is a static function of its frame slot
-    ((node - nroot) % nslot), so only the parent id — column nslot*4 of the
-    node's frame row in `arena` [F, B, 128] — is gathered per step.
+    ((node - nroot) % nslot), so only the parent id — column nslot*nw of
+    the node's frame row in `arena` [F, B, ROWW] — is gathered per step
+    (nw = node words per slot: 4, or 6 for int64 indices).
     Returns int8 [W, pathcap]; entry t is the state of the t-th ancestor
     (the node itself first; roots contribute nothing).
     """
@@ -879,7 +909,7 @@ def walk_paths(arena: jax.Array, lanes: jax.Array, nodes: jax.Array,
         nn = jnp.maximum(cur - nroot, 0)
         f = jnp.clip(nn // nslot, 0, F - 1)
         rowv = jnp.take(flat, f * B + lanes, axis=0)
-        par = jnp.where(cur >= nroot, rowv[:, nslot * 4], -1)
+        par = jnp.where(cur >= nroot, rowv[:, nslot * nw], -1)
         alive = (cur >= 0) & (par >= 0)
         slot = jnp.where(cur >= nroot, nn % nslot, 0)
         stv = jnp.where(alive, states[slot], 0).astype(jnp.int8)

@@ -77,7 +77,7 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
              & (candL <= candU) & (c[:, None, None] < 4))
 
     width_sum = jnp.sum(jnp.where(valid, candU - candL + 1, 0), axis=(1, 2),
-                        dtype=jnp.int32)
+                        dtype=Ls.dtype)
 
     newLs, newUs, newcnt, overflow = merge_compact(
         candL.reshape(B, K * _NB), candU.reshape(B, K * _NB),
@@ -106,7 +106,7 @@ def merge_compact(candL: jax.Array, candU: jax.Array, valid: jax.Array,
     lastU, _ = jax.lax.associative_scan(
         _carry, (jnp.where(valid, candU, -2), valid), axis=1)
     prevU = jnp.concatenate(
-        [jnp.full((B, 1), -2, jnp.int32), lastU[:, :-1]], axis=1)
+        [jnp.full((B, 1), -2, candU.dtype), lastU[:, :-1]], axis=1)
     head = valid & (candL != prevU + 1)
     gid = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
     newcnt = jnp.max(jnp.where(valid, gid + 1, 0), axis=1)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
+from functools import partial
 
 import numpy as np
 import jax.numpy as jnp
@@ -48,7 +49,8 @@ def _reconstruct_path(rev_row: np.ndarray, plen: int, out_len: int,
 
 def _calc_d_chunk(didx, seq, lengths, lengths_np, params, K):
     """D and D_seed for one padded chunk at interval capacity K; returns
-    (D, Ds, overflow) device arrays."""
+    (D, Ds, overflow) device arrays.  lengths_np mirrors `lengths` for
+    host-side masking."""
     seed_len = int(params.seed_length)
     if params.is_multiref:
         D, dov1 = calc_d(didx, seq, lengths, K=K)
@@ -68,7 +70,7 @@ def _calc_d_chunk(didx, seq, lengths, lengths_np, params, K):
 
 
 def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
-               batch: int, d_cap: int = 16, k_fast: int = 2):
+               batch: int, d_cap: int = 16, k_fast: int = 2, mesh=None):
     """D/D_seed bounds for every read: one cheap K=k_fast pass (exact unless
     a read's interval list overflows k_fast slots), then a K=d_cap re-run
     for just the overflowing reads.  Returns (D_all, Ds_all device arrays,
@@ -82,6 +84,14 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     NR = reads.count
     Lmax = max(reads.max_len, 1)
     K1 = min(k_fast, d_cap) if params.is_multiref else d_cap
+    if mesh is not None:
+        from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
+
+        def chunk(sq, ln, ln_np, K):
+            return sharded_calc_d_chunk(mesh, didx, sq, ln, params, K)
+    else:
+        def chunk(sq, ln, ln_np, K):
+            return _calc_d_chunk(didx, sq, ln, ln_np, params, K)
     D_parts, Ds_parts, dov_parts = [], [], []
     for s in range(0, NR, batch):
         e = min(s + batch, reads.count)
@@ -90,8 +100,7 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
         sq[:nb, :reads.seq.shape[1]] = reads.seq[s:e]
         ln = np.zeros((batch,), dtype=np.int32)
         ln[:nb] = reads.lengths[s:e]
-        D, Ds, dov = _calc_d_chunk(didx, jnp.asarray(sq), jnp.asarray(ln),
-                                   ln, params, K1)
+        D, Ds, dov = chunk(jnp.asarray(sq), jnp.asarray(ln), ln, K1)
         D_parts.append(D[:nb])
         Ds_parts.append(Ds[:nb])
         dov_parts.append(np.asarray(dov)[:nb])
@@ -107,8 +116,7 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
         sq = np.zeros((RB, Lmax), dtype=np.int8)
         sq[:, :reads.seq.shape[1]] = reads.seq[sel]
         ln = reads.lengths[sel].astype(np.int32)
-        D, Ds, dov = _calc_d_chunk(didx, jnp.asarray(sq), jnp.asarray(ln),
-                                   ln, params, d_cap)
+        D, Ds, dov = chunk(jnp.asarray(sq), jnp.asarray(ln), ln, d_cap)
         ridx = jnp.asarray(retry.astype(np.int32))
         n = retry.size
         D_all = D_all.at[ridx].set(D[:n])
@@ -145,8 +153,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        precalc=None, seed_slots: int = 32,
                        window: int = 2, sort_reads: bool = True,
                        first_cap: int | None = None,
-                       queued: bool = False, qchunk: int = 2
-                       ) -> list[list[Aln]]:
+                       queued: bool = False, qchunk: int = 2,
+                       mesh=None) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
@@ -159,6 +167,14 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     read sets (difficulty-sorted fixed batches win on uniform ones).
     """
     cfg = cfg or EngineConfig()
+    nw = 6 if str(didx.idt) == "int64" else 4
+    if mesh is not None:
+        # the mesh product path (dp reads x tp index shards) is the fixed-
+        # batch pipeline with the sharded kernels; results are byte-
+        # identical to single-device alignment
+        if precalc is not None:
+            raise NotImplementedError("--mesh with -P seeding not yet wired")
+        queued = False
     if queued and reads.count > int(params.batch_size):
         return _align_queued(idx, didx, reads, params, cfg, d_cap, stats,
                              precalc, seed_slots, sort_reads, qchunk=qchunk)
@@ -196,10 +212,16 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                          jnp.asarray(sU.astype(np.int32)),
                          jnp.asarray(scnt))
             selj = jnp.asarray(sel.astype(np.int32))
-            res = _run_batch(didx, jnp.asarray(rc), jnp.asarray(lengths),
-                             params, tier_cfg, seeds,
-                             jnp.take(D_all, selj, axis=0),
-                             jnp.take(Ds_all, selj, axis=0))
+            Dsel = jnp.take(D_all, selj, axis=0)
+            Dssel = jnp.take(Ds_all, selj, axis=0)
+            if mesh is not None:
+                from bwbble_tpu.parallel.shard import sharded_inexact_search
+                res = sharded_inexact_search(
+                    mesh, didx, jnp.asarray(rc), jnp.asarray(lengths),
+                    Dsel, Dssel, params, tier_cfg)
+            else:
+                res = _run_batch(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                                 params, tier_cfg, seeds, Dsel, Dssel)
             return dict(nb=nb, sel=sel, lengths=lengths, res=res,
                         seed_over=seed_over, seeds=seeds,
                         pathcap=tier_cfg.pathcap or (rc.shape[1] + 32))
@@ -233,7 +255,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 pr = np.asarray(walk_paths(
                     res["arena"], jnp.asarray(lanes_a),
                     jnp.asarray(nodes_a), nroot=nroot, nslot=1 + 2 * nc,
-                    nc=nc, pathcap=h["pathcap"]))
+                    nc=nc, pathcap=h["pathcap"], nw=nw))
                 for w, key in enumerate(keys):
                     paths_rev[key] = pr[w]
 
@@ -273,7 +295,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # batch was the single biggest gather volume in the pipeline)
     D_all, Ds_all, dov_all = calc_d_all(
         didx, reads, params, batch=min(B, _pow2_at_least(reads.count)),
-        d_cap=d_cap)
+        d_cap=d_cap, mesh=mesh)
     order = np.flatnonzero(~dov_all).astype(np.int64)
     if sort_reads and reads.count > B and order.size:
         z = difficulty_scores(didx, reads, params, D_all=D_all)
@@ -294,15 +316,57 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         sel = np.array(sorted(set(failed)), dtype=np.int64)
 
     sel = np.concatenate([sel, np.flatnonzero(dov_all).astype(np.int64)])
-    for orig in sel:
-        counters["fallback_reads"] += 1
-        results[orig] = align_read_gold(
-            idx, reads.seq[orig], reads.rc[orig],
-            int(reads.lengths[orig]), params, precalc=precalc)
+    if sel.size:
+        counters["fallback_reads"] += int(sel.size)
+        for orig, alns in gold_fallback_many(
+                idx, reads, [int(i) for i in sel], params, precalc,
+                int(params.n_threads)).items():
+            results[orig] = alns
 
     if stats is not None:
         stats.update(counters)
     return results
+
+
+# host gold fallback, parallel over reads (the reference's -t semantics:
+# OpenMP threads over an embarrassingly-parallel read loop,
+# inexact_match.c:92-168).  Heavy state (index, reads, precalc) reaches the
+# workers by fork copy-on-write, not pickling.
+_FB_CTX: dict = {}
+
+
+def _fb_worker(i: int):
+    c = _FB_CTX
+    return align_read_gold(c["idx"], c["reads"].seq[i], c["reads"].rc[i],
+                           int(c["reads"].lengths[i]), c["params"],
+                           precalc=c["precalc"])
+
+
+def gold_fallback_many(idx, reads: Reads, sel: list[int], params: AlnParams,
+                       precalc, n_threads: int) -> dict[int, list]:
+    """Gold-align reads[sel]; with n_threads > 1 a fork pool spreads the
+    reads over processes so overflow storms degrade gracefully instead of
+    serializing on one interpreter."""
+    if n_threads <= 1 or len(sel) <= 1:
+        return {i: _fb_single(idx, reads, i, params, precalc) for i in sel}
+    import multiprocessing as mp
+    try:
+        ctx = mp.get_context("fork")
+    except ValueError:          # platform without fork: serial fallback
+        return {i: _fb_single(idx, reads, i, params, precalc) for i in sel}
+    _FB_CTX.update(idx=idx, reads=reads, params=params, precalc=precalc)
+    try:
+        with ctx.Pool(min(int(n_threads), len(sel))) as pool:
+            outs = pool.map(_fb_worker, sel,
+                            chunksize=max(1, len(sel) // (4 * n_threads)))
+    finally:
+        _FB_CTX.clear()
+    return dict(zip(sel, outs))
+
+
+def _fb_single(idx, reads, i, params, precalc):
+    return align_read_gold(idx, reads.seq[i], reads.rc[i],
+                           int(reads.lengths[i]), params, precalc=precalc)
 
 
 def _pow2_at_least(n: int, lo: int = 256) -> int:
@@ -335,6 +399,8 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     any capacity retry through the fixed-batch path (which bounds frames
     per READ), and only persistent failures reach the host gold engine.
     """
+    import time as _time
+    t_start = _time.time()
     NR = reads.count
     lanes = min(int(params.batch_size), _pow2_at_least(NR, lo=256))
     nc = 11 if params.is_multiref else 4
@@ -344,6 +410,9 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     Dr_all, Dsr_all, dov_raw = calc_d_all(
         didx, reads, params, batch=min(lanes, _pow2_at_least(NR)),
         d_cap=d_cap)
+    import jax as _jax
+    _jax.block_until_ready((Dr_all, Dsr_all))
+    t_dbounds = _time.time() - t_start
     if sort_reads:
         z = difficulty_scores(didx, reads, params, D_all=Dr_all)
         order = np.argsort(-z, kind="stable").astype(np.int64)
@@ -374,6 +443,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     out: list = [None] * NR
     failed: list[int] = []
     iters_total = 0
+    t_search = 0.0
     for cs in range(0, NR, Q):
         ce = min(cs + Q, NR)
         nb = ce - cs
@@ -390,11 +460,13 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             kw = dict(seed_L=jnp.asarray(seeds_all[0][pad]),
                       seed_U=jnp.asarray(seeds_all[1][pad]),
                       seed_cnt=jnp.asarray(seeds_all[2][pad]))
+        t_sq = _time.time()
         res = inexact_search_queued(
             didx, jnp.asarray(rc_all[pad]), jnp.asarray(len_all[pad]),
             jnp.take(D_ord, padj, axis=0), jnp.take(Ds_ord, padj, axis=0),
             params, cfg, lanes=lanes, **kw)
         iters_total += int(np.asarray(res["iters"]))
+        t_search += _time.time() - t_sq
         n_alns = np.asarray(res["n_alns"])[:nb]
         overflow = (np.asarray(res["overflow"])[:nb]
                     | dover[cs:ce] | seed_over[cs:ce])
@@ -460,5 +532,8 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
         n_fallback = sub_stats.get("fallback_reads", 0)
     if stats is not None:
         stats.update(fallback_reads=n_fallback, retried_reads=n_retry,
-                     iters=iters_total)
+                     iters=iters_total, t_dbounds=round(t_dbounds, 3),
+                     t_search=round(t_search, 3),
+                     t_host=round(_time.time() - t_start - t_dbounds
+                                  - t_search, 3))
     return out

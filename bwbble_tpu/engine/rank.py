@@ -57,15 +57,19 @@ def _take_rows(didx: DeviceIndex, arr: jax.Array, k: jax.Array) -> jax.Array:
 
 def _gather_block(didx: DeviceIndex, i: jax.Array):
     """Clamp i into the normal-path domain and fetch (bit-plane row [B,4,4],
-    checkpoint row [B,16], in-block offset, first char) with ONE row gather
-    from the fused table."""
+    checkpoint row [B,16] in index dtype, in-block offset, first char) with
+    ONE row gather from the fused table."""
     len_m1 = didx.length - 1
     i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
-    k = i_c // BLK
-    off = i_c - k * BLK
-    rows = _take_rows(didx, didx.table, k)                   # [B, 32]
+    k = (i_c // BLK).astype(jnp.int32)      # block ids always fit int32
+    off = (i_c - k.astype(i_c.dtype) * BLK).astype(jnp.int32)
+    rows = _take_rows(didx, didx.table, k)                   # [B, 32|48]
     pw = rows[:, :16].reshape(-1, 4, 4)                      # [B, bit, word]
-    ck = rows[:, 16:]                                        # [B, 16]
+    if didx.idt == jnp.int64:
+        lo = rows[:, 16:32].astype(jnp.int64) & 0xFFFFFFFF
+        ck = (rows[:, 32:48].astype(jnp.int64) << 32) | lo   # [B, 16] i64
+    else:
+        ck = rows[:, 16:32]                                  # [B, 16] i32
     first = ((pw[:, 0, 0] & 1) | ((pw[:, 1, 0] & 1) << 1)
              | ((pw[:, 2, 0] & 1) << 2) | ((pw[:, 3, 0] & 1) << 3))
     return pw, ck, off, first
@@ -103,15 +107,15 @@ def _block_count1(pw: jax.Array, off: jax.Array, c: jax.Array) -> jax.Array:
 def _rank_all(didx: DeviceIndex, i: jax.Array, inc, dfs: bool
               ) -> jax.Array:
     """inc may be a scalar or a per-query [B] vector."""
-    i = i.astype(jnp.int32)
-    inc = jnp.asarray(inc, jnp.int32)
+    i = i.astype(didx.idt)
+    inc = jnp.asarray(inc, didx.idt)
     if inc.ndim == 1:
         inc = inc[:, None]
     len_m1 = didx.length - 1
     pw, ck, off, first = _gather_block(didx, i)
-    cnt = _block_counts(pw, off)
+    cnt = _block_counts(pw, off).astype(didx.idt)
     sym = jnp.arange(16, dtype=jnp.int32)
-    first_dec = (first[:, None] == sym[None, :]).astype(jnp.int32)
+    first_dec = (first[:, None] == sym[None, :]).astype(didx.idt)
     Cv = didx.Carr[:16][None, :]
 
     normal = Cv + ck + cnt + inc - first_dec
@@ -149,24 +153,25 @@ def rank1(didx: DeviceIndex, c: jax.Array, i: jax.Array) -> jax.Array:
     """Single-char rank O(c, i) per lane (bwt.c:348-372), including the
     sentinel-row exclusion for c == 0 (bwt.c:360-369)."""
     c = c.astype(jnp.int32)
-    i = i.astype(jnp.int32)
+    i = i.astype(didx.idt)
     len_m1 = didx.length - 1
     pw, ck, off, first = _gather_block(didx, i)
     base = (i // BLK) * BLK
-    cnt = _block_count1(pw, off, c)
+    cnt = _block_count1(pw, off, c).astype(didx.idt)
     ckc = jnp.take_along_axis(ck, c[:, None], axis=1)[:, 0]
-    sentinel = ((c == 0) & (base < didx.sa0) & (didx.sa0 <= i)).astype(jnp.int32)
-    normal = ckc + cnt - (first == c).astype(jnp.int32) - sentinel
+    sentinel = ((c == 0) & (base < didx.sa0) & (didx.sa0 <= i)).astype(didx.idt)
+    normal = ckc + cnt - (first == c).astype(didx.idt) - sentinel
     high = (jnp.take(didx.Carr, c + 1) - jnp.take(didx.Carr, c))
-    return jnp.where(i == len_m1, high, jnp.where(i < 0, 0, normal))
+    return jnp.where(i == len_m1, high,
+                     jnp.where(i < 0, jnp.zeros_like(normal), normal))
 
 
 def rank_all_dfs_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
     """Fused (O_alphabet(L-1)+1, O_alphabet(U)) pair: one gather of 2B rows
     instead of two B-row calls (the two calls of inexact_match.c:379-385)."""
     B = iL.shape[0]
-    inc = jnp.concatenate([jnp.ones((B,), jnp.int32),
-                           jnp.zeros((B,), jnp.int32)])
+    inc = jnp.concatenate([jnp.ones((B,), didx.idt),
+                           jnp.zeros((B,), didx.idt)])
     out = _rank_all(didx, jnp.concatenate([iL, iU]), inc, dfs=True)
     return out[:B], out[B:]
 
@@ -174,8 +179,8 @@ def rank_all_dfs_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
 def rank_all_exact_pair(didx: DeviceIndex, iL: jax.Array, iU: jax.Array):
     """Fused exact-variant pair (bounds at L-1 with +1, at U with +0)."""
     B = iL.shape[0]
-    inc = jnp.concatenate([jnp.ones((B,), jnp.int32),
-                           jnp.zeros((B,), jnp.int32)])
+    inc = jnp.concatenate([jnp.ones((B,), didx.idt),
+                           jnp.zeros((B,), didx.idt)])
     out = _rank_all(didx, jnp.concatenate([iL, iU]), inc, dfs=False)
     return out[:B], out[B:]
 
@@ -199,10 +204,10 @@ def rank1_pair(didx: DeviceIndex, c: jax.Array, iL: jax.Array,
 
 
 def bwt_char(didx: DeviceIndex, i: jax.Array) -> jax.Array:
-    """B(i) per lane (bwt.c:337-345)."""
-    i = i.astype(jnp.int32)
-    k = i // BLK
-    off = i - k * BLK
+    """B(i) per lane (bwt.c:337-345); returns int32 codes."""
+    i = i.astype(didx.idt)
+    k = (i // BLK).astype(jnp.int32)
+    off = (i - k.astype(i.dtype) * BLK).astype(jnp.int32)
     pw = _take_rows(didx, didx.table, k)[:, :16].reshape(-1, 4, 4)
     w = off // 32
     b = off - w * 32
@@ -238,7 +243,7 @@ def sa_resolve(didx: DeviceIndex, rows: jax.Array) -> jax.Array:
                 jnp.where(at_sample, j, j + 1))
 
     i, j = jax.lax.while_loop(cond, body,
-                              (rows.astype(jnp.int32),
-                               jnp.zeros_like(rows, dtype=jnp.int32)))
-    vals = jnp.take(didx.sa_samples, i // C.SA_INTERVAL)
+                              (rows.astype(didx.idt),
+                               jnp.zeros(rows.shape, dtype=didx.idt)))
+    vals = jnp.take(didx.sa_samples, (i // C.SA_INTERVAL).astype(jnp.int32))
     return (vals + j) % didx.length

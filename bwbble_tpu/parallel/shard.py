@@ -105,7 +105,10 @@ def sharded_inexact_search(mesh: Mesh, didx: DeviceIndex, rc, lengths,
     """inexact_search over a (dp, tp) mesh; same outputs, batch-sharded.
 
     Lanes are padded to a dp multiple with zero-length reads (which finish
-    immediately); callers slice outputs back to the true batch.
+    immediately); callers slice outputs back to the true batch.  The node
+    arena comes back sharded on its LANE axis (P(None, "dp", None)), so
+    walk_paths works on it unchanged with global lane ids: a lane's frames
+    live entirely on its own device, and frame ids are lane-local.
     """
     dp, tp = mesh.shape["dp"], mesh.shape["tp"]
     didx = pad_index_for_tp(didx, tp)
@@ -117,12 +120,57 @@ def sharded_inexact_search(mesh: Mesh, didx: DeviceIndex, rc, lengths,
         out["iters"] = jnp.broadcast_to(out["iters"], rc_l.shape[:1])
         return out
 
+    out_specs = dict(
+        n_alns=P("dp"), o_L=P("dp", None), o_U=P("dp", None),
+        o_score=P("dp", None), o_len=P("dp", None), o_node=P("dp", None),
+        o_mm=P("dp", None), o_go=P("dp", None), o_ge=P("dp", None),
+        o_snp=P("dp", None), o_plen=P("dp", None), overflow=P("dp"),
+        iters=P("dp"), n_pushed=P("dp"), arena=P(None, "dp", None))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(_index_specs(), P("dp", None), P("dp"),
                              P("dp", None, None), P("dp", None, None)),
-                   out_specs=P("dp"))
+                   out_specs=out_specs)
     out = fn(didx, rc, lengths, D, D_seed)
-    return {k: v[:B] for k, v in out.items()}
+    return {k: (v[:, :B] if k == "arena" else v[:B])
+            for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("mesh", "params", "K", "max_len"))
+def sharded_calc_d_chunk(mesh: Mesh, didx: DeviceIndex, seq, lengths,
+                         params: AlnParams, K: int, max_len=None):
+    """The calc_d full+seed pass of one batch over a (dp, tp) mesh; exactly
+    the math of pipeline._calc_d_chunk, reads sharded on dp and the index
+    range-sharded on tp.  Returns (D, Ds, overflow)."""
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    didx = pad_index_for_tp(didx, tp)
+    (seq, lengths), B = _pad_batch((seq, lengths), dp)
+    seed_len = int(params.seed_length)
+
+    def body(didx_l, seq_l, len_l):
+        didx_l = dataclasses.replace(didx_l, tp_axis="tp")
+        if params.is_multiref:
+            D, dov1 = calc_d(didx_l, seq_l, len_l, K=K)
+        else:
+            D, dov1 = calc_d_1to1(didx_l, seq_l, len_l)
+        use_seed = (len_l > seed_len) & (seed_len > 0)
+        sl = jnp.where(use_seed, seed_len, 0).astype(jnp.int32)
+        if params.is_multiref:
+            Ds, dov2 = calc_d(didx_l, seq_l, sl, K=K,
+                              max_len=max(seed_len, 1))
+        else:
+            Ds, dov2 = calc_d_1to1(didx_l, seq_l, sl,
+                                   max_len=max(seed_len, 1))
+        # reads not using a seed keep an all-zero D_seed (calloc semantics,
+        # inexact_match.c:36,62-64)
+        Ds = jnp.where(use_seed[:, None, None], Ds, 0)
+        return D, Ds, dov1 | (dov2 & use_seed)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(_index_specs(), P("dp", None), P("dp")),
+                   out_specs=(P("dp", None, None), P("dp", None, None),
+                              P("dp")))
+    D, Ds, dov = fn(didx, seq, lengths)
+    return D[:B], Ds[:B], dov[:B]
 
 
 @partial(jax.jit, static_argnames=("mesh", "params", "cfg", "d_cap"))

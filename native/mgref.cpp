@@ -14,6 +14,8 @@
 // wrapping behavior of comb.cpp:148-160 and the genotype-column allele
 // counting of data_prep.cpp:99-102) matches the reference tools.
 
+#include <sys/stat.h>
+
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
@@ -56,6 +58,9 @@ struct ExtractWriter {
   std::set<std::string> seen;  // chromosomes already (re)created this run
 
   std::ofstream open(const std::string& kind, const std::string& chr) {
+    // the reference binary assumes the caller pre-made this directory and
+    // silently writes nothing otherwise (data_prep.cpp:105-137); create it
+    ::mkdir("mg-ref-output", 0755);
     std::string path = "mg-ref-output/" + kind + ".extract.chr" + chr + ".data";
     bool fresh = clear && !seen.count(kind + ":" + chr);
     seen.insert(kind + ":" + chr);

@@ -98,3 +98,29 @@ def test_tp_rank_rows_match_replicated(small_world):
     out = shard_map(body, mesh=mesh, in_specs=(_index_specs(), P()),
                     out_specs=P())(didx_p, i)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_mesh_product_path_aln_byte_parity(small_world, tmp_path):
+    """The --mesh pipeline (align_reads_device(mesh=...)) must emit a byte-
+    identical .aln to the single-device pipeline: full D bounds, DFS, path
+    walk, overflow handling, and serialization (VERDICT r1 item 4)."""
+    from bwbble_tpu.engine.pipeline import align_reads_device
+    from bwbble_tpu.formats.aln import write_aln_file
+
+    idx = small_world["idx"]
+    didx = from_fmindex(idx)
+    reads = small_world["reads"]
+    params = AlnParams(max_diff=2, batch_size=64)
+    cfg = EngineConfig(cap=8192, acap=16, kx=8, max_iters=50_000)
+
+    ref = align_reads_device(idx, didx, reads, params, cfg, d_cap=16)
+    f_ref = tmp_path / "single.aln"
+    write_aln_file(str(f_ref), ref)
+
+    mesh = make_mesh(4, 2)
+    out = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
+                             mesh=mesh)
+    f_mesh = tmp_path / "mesh.aln"
+    write_aln_file(str(f_mesh), out)
+
+    assert f_mesh.read_bytes() == f_ref.read_bytes()
