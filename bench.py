@@ -29,14 +29,16 @@ import time
 
 import numpy as np
 
-# reference bwbble on this exact world, 1 CPU core, measured by
-# scripts/measure_baseline.py in this environment (2026-08-16); see
-# .bench/chr21/baseline.json when present for the locally measured value
-BASELINE_READS_PER_SEC = 2450.0
-EASY_BASELINE_READS_PER_SEC = 5100.0   # BASELINE.md round-1 workload
+# reference bwbble on these exact worlds, 1 CPU core, measured by
+# scripts/measure_baseline.py in this environment (2026-08-17); see
+# .bench/chr21*/baseline.json when present for locally measured values
+BASELINE_READS_PER_SEC = 600.0         # calibrated chr21 world (see below)
+HARD_BASELINE_READS_PER_SEC = 138.3    # --hard: chained repeat families
+EASY_BASELINE_READS_PER_SEC = 5100.0   # --easy: BASELINE.md round-1 workload
 
 GENOME_BP = 46_700_000
-NUM_READS = 16_384
+NUM_READS = 16_384      # reads in the cached worlds / baseline measurements
+CHR21_BENCH_READS = 8_192   # aligned by the chr21 bench run (rate metric)
 READ_LEN = 100
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
@@ -51,16 +53,23 @@ def _mgref_binary():
     return exe
 
 
-def build_world():
+def build_world(hard: bool = False):
     """Build (once, cached) the chr21-scale multi-genome world; returns
-    (FMIndex, Reads, world_dir)."""
+    (FMIndex, Reads, world_dir).
+
+    Default: diverged repeats (15% of blocks are single copies of fresh
+    blocks at 5% divergence — near the -n 4 ambiguity boundary).  hard=True
+    instead allows copies of copies: preferential-attachment families with
+    hundreds of near-identical members (young-Alu-like pathology; both
+    aligners slow dramatically and the comparison is reported separately).
+    """
     from bwbble_tpu.formats.fasta import fasta2ref
     from bwbble_tpu.formats.fastq import read_fastq
     from bwbble_tpu.index.fmindex import FMIndex
     from bwbble_tpu.testutil import (random_genome_with_repeats_fasta,
                                      simulate_reads_fastq, synthetic_vcf)
 
-    d = os.path.join(CACHE, "chr21")
+    d = os.path.join(CACHE, "chr21_hard" if hard else "chr21")
     os.makedirs(d, exist_ok=True)
     fa = os.path.join(d, "genome.fa")
     vcf = os.path.join(d, "variants.vcf")
@@ -71,8 +80,14 @@ def build_world():
     bwt = os.path.join(d, "mg_bubble.bwt")
 
     if not os.path.exists(fa):
-        random_genome_with_repeats_fasta(fa, "21", GENOME_BP, seed=11,
-                                         repeat_frac=0.3, block=500)
+        if hard:
+            random_genome_with_repeats_fasta(fa, "21", GENOME_BP, seed=11,
+                                             repeat_frac=0.3, block=500,
+                                             mut_rate=0.02, chains=True)
+        else:
+            random_genome_with_repeats_fasta(fa, "21", GENOME_BP, seed=11,
+                                             repeat_frac=0.15, block=500,
+                                             mut_rate=0.05)
     if not os.path.exists(vcf):
         synthetic_vcf(fa, vcf, snp_rate=0.01, indel_rate=0.001, seed=12)
     if not os.path.exists(mgb):
@@ -125,13 +140,20 @@ def build_world_easy():
 
 def main():
     easy = "--easy" in sys.argv
+    hard = "--hard" in sys.argv
     t0 = time.time()
     if easy:
         idx, reads, world = build_world_easy()
         baseline = EASY_BASELINE_READS_PER_SEC
     else:
-        idx, reads, world = build_world()
-        baseline = BASELINE_READS_PER_SEC
+        idx, reads, world = build_world(hard=hard)
+        from bwbble_tpu.formats.fastq import Reads
+        n = min(CHR21_BENCH_READS, reads.count)
+        reads = Reads(names=reads.names[:n], seq=reads.seq[:n],
+                      rc=reads.rc[:n], qual=reads.qual[:n],
+                      lengths=reads.lengths[:n])
+        baseline = (HARD_BASELINE_READS_PER_SEC if hard
+                    else BASELINE_READS_PER_SEC)
         bj = os.path.join(world, "baseline.json")
         if os.path.exists(bj):
             with open(bj) as f:
@@ -145,16 +167,35 @@ def main():
     from bwbble_tpu.engine.pipeline import align_reads_device
 
     didx = from_fmindex(idx)
-    params = AlnParams(max_diff=4, batch_size=8192)
-    cfg = EngineConfig(cap=32768, acap=24, kx=4, max_iters=500_000)
+    if easy:
+        params = AlnParams(max_diff=4, batch_size=8192)
+        cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
+        d_cap = 16
+    else:
+        # chr21 multi-genome: median read needs ~8k DFS pops (vs ~100 on
+        # the easy world), so the primary tier runs narrower and deeper
+        # (frame memory = cap x lanes x 512 B ~= 6 GB) with the ladder
+        # escalating to (256, 64)-lane deep tiers; D bounds need K=64
+        # interval slots on IUPAC-dense references
+        params = AlnParams(max_diff=4, batch_size=1024)
+        cfg = EngineConfig(cap=262144, acap=24, kx=4, max_iters=500_000)
+        d_cap = 64
+
+    # chr21: fixed difficulty-sorted batches + native-gold tail (queue
+    # refills mid-launch start reads with partial frame budgets and
+    # overflow them spuriously); easy: continuous batching
+    queued = easy
+    if not easy:
+        idx.bit_planes()   # native gold rank substrate, built once
 
     # warm-up: one full pass compiles every shape
-    align_reads_device(idx, didx, reads, params, cfg, d_cap=16, queued=True)
+    align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
+                       queued=queued)
 
     stats: dict = {}
     t1 = time.time()
-    alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
-                              stats=stats, queued=True)
+    alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
+                              stats=stats, queued=queued)
     dt = time.time() - t1
     reads_per_sec = reads.count / dt
 
@@ -162,7 +203,7 @@ def main():
     fallback = stats.get("fallback_reads", 0)
     sys.stderr.write(
         f"backend={jax.default_backend()} workload="
-        f"{'easy-5Mbp' if easy else 'chr21-multigenome'} "
+        f"{'easy-5Mbp' if easy else ('chr21-hard' if hard else 'chr21-multigenome')} "
         f"index_len={idx.length} build={t_build:.1f}s align={dt:.2f}s "
         f"aligned={n_aligned}/{reads.count} "
         f"fallback={fallback} ({100.0 * fallback / reads.count:.2f}%) "
@@ -172,8 +213,9 @@ def main():
         f"t_search={stats.get('t_search', 0):.2f}s "
         f"t_host={stats.get('t_host', 0):.2f}s\n")
     print(json.dumps({
-        "metric": ("inexact_align_throughput_easy" if easy
-                   else "chr21_multigenome_align_throughput"),
+        "metric": ("inexact_align_throughput_easy" if easy else
+                   "chr21_multigenome_hard_align_throughput" if hard else
+                   "chr21_multigenome_align_throughput"),
         "value": round(reads_per_sec, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_sec / baseline, 3),

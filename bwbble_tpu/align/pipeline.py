@@ -20,11 +20,35 @@ from bwbble_tpu.gold import engine as G
 from bwbble_tpu.index.fmindex import FMIndex
 
 
+_GOLD_TABLES = None
+
+
+def _gold_tables():
+    global _GOLD_TABLES
+    if _GOLD_TABLES is None:
+        from bwbble_tpu import constants as C
+        skipped = np.zeros(16, dtype=np.uint8)
+        for j in C.SKIPPED_ORDERS:
+            skipped[j] = 1
+        _GOLD_TABLES = np.ascontiguousarray(np.concatenate([
+            np.asarray(C.NUCL_BASES, dtype=np.uint8).reshape(-1),
+            np.asarray(C.GRAY_VAL, dtype=np.uint8),
+            np.asarray(C.NT4_GRAY_VAL, dtype=np.uint8),
+            np.asarray(C.IS_SNP, dtype=np.uint8),
+            skipped]))
+    return _GOLD_TABLES
+
+
 def align_read_gold(idx: FMIndex, seq: np.ndarray, rc: np.ndarray,
                     length: int, params: AlnParams,
                     precalc=None) -> list[G.Aln]:
     """Align one read (the per-read body of align_reads_inexact,
-    inexact_match.c:46-66)."""
+    inexact_match.c:46-66).
+
+    Runs the native gold engine when available (C++ port of the Python
+    model below, ~100-500x faster; bwbble_gold_align_multiref); the Python
+    model remains the semantic reference and handles -S single-genome
+    mode, -P seeding, and native capacity overflow."""
     if params.use_precalc:
         ri = G.read2index(rc, length, k=params.precalc_len)
         if ri < 0:
@@ -32,6 +56,30 @@ def align_read_gold(idx: FMIndex, seq: np.ndarray, rc: np.ndarray,
         precalc_intvs = precalc[ri]
     else:
         precalc_intvs = None
+
+    if (precalc_intvs is None and params.is_multiref and 0 < length <= 255):
+        from bwbble_tpu.native import get_native
+        nat = get_native()
+        if nat is not None and getattr(nat, "_has_gold", False):
+            from bwbble_tpu import constants as C
+            pp = np.array([
+                params.mm_score, params.gapo_score, params.gape_score,
+                params.max_diff, params.max_gapo, params.max_gape,
+                params.seed_length, params.max_diff_seed, params.max_best,
+                params.no_indel_length, params.max_entries,
+                params.num_score_buckets], dtype=np.int64)
+            out = nat.gold_align_multiref(
+                idx.bit_planes(), idx.occ, idx.Carr, idx.length, idx.sa0,
+                C.OCC_INTERVAL, _gold_tables(), pp, seq, rc, length)
+            if out is not None:
+                meta, paths = out
+                return [G.Aln(score=int(m[0]), L=int(m[1]), U=int(m[2]),
+                              num_mm=int(m[3]), num_gapo=int(m[4]),
+                              num_gape=int(m[5]), num_snps=int(m[6]),
+                              aln_length=int(m[7]),
+                              path=bytes(paths[t, :int(m[7])]))
+                        for t, m in enumerate(meta)]
+
     D = G.calculate_d(idx, seq, length, params)
     if params.seed_length and length > params.seed_length:
         D_seed = G.calculate_d(idx, seq, params.seed_length, params)

@@ -102,7 +102,10 @@ def _pick(arr: jax.Array, idx: jax.Array) -> jax.Array:
     gathers serialize on TPU)."""
     T = arr.shape[1]
     cols = jnp.arange(T, dtype=jnp.int32)[None, :]
-    return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1)
+    # pin the accumulator dtype: under JAX x64 an int32 sum promotes to
+    # int64, which corrupts downstream word-level bitcasts
+    return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1,
+                   dtype=arr.dtype)
 
 
 def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
@@ -205,7 +208,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         rowv = jnp.take(flat, f * B + lane_iota, axis=0)      # [B, ROWW]
         slots = rowv[:, :NSLOT * NW].reshape(B, NSLOT, NW)
         sl1h = jnp.arange(NSLOT, dtype=jnp.int32)[None, :] == s[:, None]
-        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1)  # [B, NW]
+        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1,
+                     dtype=jnp.int32)                                # [B, NW]
         if NROOT == 1:
             rV = st_["rtN"][:, 0]
         else:
@@ -744,7 +748,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
                         axis=2) - 1                           # [B, NSLOT]
         old_head = jnp.sum(
             jnp.where(bsel[:, :, None] == col_b[:, None, :],
-                      head2[:, None, :], 0), axis=2)          # [B, NSLOT]
+                      head2[:, None, :], 0), axis=2,
+            dtype=jnp.int32)                                  # [B, NSLOT]
         prevs = jnp.where(lastp >= 0, base + lastp, old_head)
         sel_vb = valid[:, :, None] & (bsel[:, :, None] == col_b[:, None, :])
         lasts = jnp.max(jnp.where(sel_vb, sl[None, :, None] + 1, 0),

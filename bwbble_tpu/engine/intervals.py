@@ -69,8 +69,9 @@ def expand_step(didx: DeviceIndex, Ls: jax.Array, Us: jax.Array,
     candU_all = occU[:, :, idx]
     c1h = c_safe[:, None, None, None] == jnp.arange(4, dtype=jnp.int32)[
         None, None, :, None]
-    candL = jnp.sum(jnp.where(c1h, candL_all, 0), axis=2)   # [B, K, 7]
-    candU = jnp.sum(jnp.where(c1h, candU_all, 0), axis=2)
+    candL = jnp.sum(jnp.where(c1h, candL_all, 0), axis=2,
+                    dtype=occL.dtype)                       # [B, K, 7]
+    candU = jnp.sum(jnp.where(c1h, candU_all, 0), axis=2, dtype=occU.dtype)
 
     slot = jnp.arange(K, dtype=jnp.int32)
     valid = ((slot[None, :, None] < cnt[:, None, None])
@@ -116,7 +117,7 @@ def merge_compact(candL: jax.Array, candU: jax.Array, valid: jax.Array,
     g = jnp.arange(K, dtype=jnp.int32)[None, :, None]
     is_g = gid[:, None, :] == g                               # [B, K, M]
     Lmin = jnp.sum(jnp.where(is_g & head[:, None, :], candL[:, None, :], 0),
-                   axis=2)
+                   axis=2, dtype=candL.dtype)
     Umax = jnp.max(jnp.where(is_g & valid[:, None, :], candU[:, None, :], -1),
                    axis=2)
 

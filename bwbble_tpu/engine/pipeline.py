@@ -70,7 +70,8 @@ def _calc_d_chunk(didx, seq, lengths, lengths_np, params, K):
 
 
 def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
-               batch: int, d_cap: int = 16, k_fast: int = 2, mesh=None):
+               batch: int, d_cap: int = 16, k_fast: int = 2, mesh=None,
+               host_idx: FMIndex | None = None):
     """D/D_seed bounds for every read: one cheap K=k_fast pass (exact unless
     a read's interval list overflows k_fast slots), then a K=d_cap re-run
     for just the overflowing reads.  Returns (D_all, Ds_all device arrays,
@@ -83,7 +84,26 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     """
     NR = reads.count
     Lmax = max(reads.max_len, 1)
+    # pure-ACGT references keep lists at width ~1 (k_fast=2 suffices); on
+    # IUPAC multi-genomes the scan's wide phase carries dozens of disjoint
+    # intervals on EVERY read, so a tiny first pass is pure waste — probe
+    # one chunk at k_fast and escalate the DEFAULT width if it overflows
     K1 = min(k_fast, d_cap) if params.is_multiref else d_cap
+    if params.is_multiref and NR > 0 and d_cap > K1:
+        sq = np.zeros((min(256, batch), Lmax), dtype=np.int8)
+        nbp = min(256, NR, sq.shape[0])
+        sq[:nbp, :reads.seq.shape[1]] = reads.seq[:nbp]
+        lnp = np.zeros((sq.shape[0],), dtype=np.int32)
+        lnp[:nbp] = reads.lengths[:nbp]
+        if mesh is None:
+            _, _, dovp = _calc_d_chunk(didx, jnp.asarray(sq),
+                                       jnp.asarray(lnp), lnp, params, K1)
+        else:
+            from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
+            _, _, dovp = sharded_calc_d_chunk(mesh, didx, jnp.asarray(sq),
+                                              jnp.asarray(lnp), params, K1)
+        if np.asarray(dovp)[:nbp].mean() > 0.5:
+            K1 = d_cap
     if mesh is not None:
         from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
 
@@ -110,29 +130,72 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
 
     retry = np.flatnonzero(dov_all)
     if retry.size and d_cap > K1:
-        RB = _pow2_at_least(retry.size)
-        sel = np.concatenate([retry, np.full(RB - retry.size, retry[0],
-                                             dtype=retry.dtype)])
-        sq = np.zeros((RB, Lmax), dtype=np.int8)
-        sq[:, :reads.seq.shape[1]] = reads.seq[sel]
-        ln = reads.lengths[sel].astype(np.int32)
-        D, Ds, dov = chunk(jnp.asarray(sq), jnp.asarray(ln), ln, d_cap)
-        ridx = jnp.asarray(retry.astype(np.int32))
-        n = retry.size
-        D_all = D_all.at[ridx].set(D[:n])
-        Ds_all = Ds_all.at[ridx].set(Ds[:n])
         dov_all = np.zeros(NR, dtype=bool)
-        dov_all[retry] = np.asarray(dov)[:n]
+        for rs in range(0, retry.size, batch):
+            sub = retry[rs:rs + batch]
+            sel = np.concatenate([sub, np.full(batch - sub.size, sub[0],
+                                               dtype=sub.dtype)])
+            sq = np.zeros((batch, Lmax), dtype=np.int8)
+            sq[:, :reads.seq.shape[1]] = reads.seq[sel]
+            ln = reads.lengths[sel].astype(np.int32)
+            D, Ds, dov = chunk(jnp.asarray(sq), jnp.asarray(ln), ln, d_cap)
+            sidx = jnp.asarray(sub.astype(np.int32))
+            n = sub.size
+            D_all = D_all.at[sidx].set(D[:n])
+            Ds_all = Ds_all.at[sidx].set(Ds[:n])
+            dov_all[sub] = np.asarray(dov)[:n]
+
+    # final escalation: reads whose interval lists exceed even d_cap slots
+    # (IUPAC-dense multi-genomes reach thousands of disjoint intervals in
+    # the scan's wide phase) get exact D bounds from the native unbounded-
+    # list scanner, so D overflow never forces whole-read gold fallback
+    still = np.flatnonzero(dov_all)
+    if still.size and params.is_multiref:
+        from bwbble_tpu import constants as CN
+        from bwbble_tpu.native import get_native
+        nat = get_native()
+        if nat is not None and getattr(nat, "_has_calc_d", False):
+            nb = np.ascontiguousarray(CN.NUCL_BASES, dtype=np.uint8)
+            if host_idx is not None and host_idx.length == int(didx.length):
+                planes = host_idx.bit_planes()
+                seed_len = int(params.seed_length)
+                np_dt = np.dtype(str(D_all.dtype))
+                Dp = np.zeros((still.size,) + D_all.shape[1:], dtype=np_dt)
+                Dsp = np.zeros((still.size,) + Ds_all.shape[1:], dtype=np_dt)
+                for t, r in enumerate(still):
+                    ln_r = int(reads.lengths[r])
+                    dr = nat.calc_d_multiref(
+                        planes, host_idx.occ, host_idx.Carr,
+                        host_idx.length, host_idx.sa0, CN.OCC_INTERVAL, nb,
+                        reads.seq[r], ln_r)
+                    Dp[t, :ln_r + 1] = dr
+                    if ln_r > seed_len and seed_len > 0:
+                        ds = nat.calc_d_multiref(
+                            planes, host_idx.occ, host_idx.Carr,
+                            host_idx.length, host_idx.sa0, CN.OCC_INTERVAL,
+                            nb, reads.seq[r], seed_len)
+                        Dsp[t, :seed_len + 1] = ds
+                sidx = jnp.asarray(still.astype(np.int32))
+                D_all = D_all.at[sidx].set(jnp.asarray(Dp))
+                Ds_all = Ds_all.at[sidx].set(jnp.asarray(Dsp))
+                dov_all[still] = False
     return D_all, Ds_all, dov_all
 
 
 def difficulty_scores(didx: DeviceIndex, reads: Reads, params: AlnParams,
                       batch: int = 8192, K: int = 4,
                       D_all: jnp.ndarray | None = None) -> np.ndarray:
-    """Cheap per-read difficulty proxy: the D-bound's total diff count.
-    When D_all (from calc_d_all) is given, derived for free from it."""
+    """Cheap per-read difficulty proxy, derived for free from the D pass.
+
+    Measured on the chr21 multi-genome worlds: search work ANTI-correlates
+    with SA-interval width (wide intervals => the read matches many loci,
+    finds its best quickly and max_best stops it; narrow => deep lonely
+    exploration).  The proxy is therefore the NEGATED total log-width, so
+    ascending order = easiest first."""
     if D_all is not None:
-        return np.asarray(jnp.max(D_all[:, :, 0], axis=1)).astype(np.int64)
+        w = jnp.sum(jnp.log2(1.0 + D_all[:, :, 1].astype(jnp.float32)),
+                    axis=1)
+        return np.asarray(-w * 64.0).astype(np.int64)
     out = np.zeros(reads.count, dtype=np.int64)
     for s in range(0, reads.count, batch):
         e = min(s + batch, reads.count)
@@ -281,10 +344,14 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                         aln_length=out_len, path=path))
                 results[orig] = alns
 
+        # every in-flight batch holds a full arena (~cap*B*22 bytes); cap
+        # the dispatch window so total arena footprint stays under HBM
+        arena_bytes = int(tier_cfg.cap) * tier_B * 23
+        win = window if arena_bytes < (2 << 30) else 0
         pending: deque = deque()
         for start in range(0, sel_all.shape[0], tier_B):
             pending.append(dispatch(start))
-            while len(pending) > window:
+            while len(pending) > win:
                 collect(pending.popleft())
         while pending:
             collect(pending.popleft())
@@ -295,25 +362,55 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # batch was the single biggest gather volume in the pipeline)
     D_all, Ds_all, dov_all = calc_d_all(
         didx, reads, params, batch=min(B, _pow2_at_least(reads.count)),
-        d_cap=d_cap, mesh=mesh)
+        d_cap=d_cap, mesh=mesh, host_idx=idx)
     order = np.flatnonzero(~dov_all).astype(np.int64)
     if sort_reads and reads.count > B and order.size:
         z = difficulty_scores(didx, reads, params, D_all=D_all)
         order = order[np.argsort(z[order], kind="stable")]
 
-    tiers: list[EngineConfig] = []
+    # Escalation ladder: a launch of I iterations can host any read whose
+    # total work (pops + exact chars) is <= NFRAME ~= cap/NSLOT, so a read's
+    # on-device work budget rises as the lane count shrinks at constant
+    # arena memory (cap * lanes ~= const).  Hard reads (repeat regions can
+    # need 10^4-10^5 pops; the reference allows max_entries=3e6,
+    # inexact_match.c:299) ladder down to narrow deep tiers instead of
+    # storming the host gold engine.
+    tiers: list[tuple[int, EngineConfig]] = []
     if first_cap is not None and first_cap < cfg.cap:
-        tiers.append(dataclasses.replace(cfg, cap=int(first_cap)))
-    tiers.append(cfg)
+        tiers.append((B, dataclasses.replace(cfg, cap=int(first_cap))))
+    tiers.append((B, cfg))
+    # deep narrow-lane tiers raise the per-read frame budget at constant
+    # arena memory; the native gold engine then takes whatever still
+    # overflows at ~1 us/pop (reference speed), so the two ladders are
+    # comparable per-read on the heavy tail and the deep tiers win
+    # slightly by keeping partial batches parallel
+    cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
+    for deep_B, deep_kx in ((1024, 8), (256, 8), (64, 16)):
+        if deep_B < B:
+            deep_cap = min(cell // deep_B, 4 << 20)
+            tiers.append((deep_B, dataclasses.replace(
+                cfg, cap=deep_cap, acap=max(cfg.acap, 64),
+                kx=max(cfg.kx, deep_kx),
+                max_iters=max(cfg.max_iters, deep_cap // 23 + 1024))))
 
+    import time as _time
+    tier_log: list[dict] = []
     sel = order
-    for t, tier_cfg in enumerate(tiers):
+    for t, (tier_B_max, tier_cfg) in enumerate(tiers):
         if sel.shape[0] == 0:
             break
         if t > 0:
             counters["retried_reads"] += sel.shape[0]
-        failed = run_tier(sel, tier_cfg, min(B, _pow2_at_least(sel.shape[0])))
+        t0 = _time.time()
+        failed = run_tier(sel, tier_cfg,
+                          min(tier_B_max, _pow2_at_least(sel.shape[0],
+                                                         lo=128)))
+        tier_log.append(dict(B=int(min(tier_B_max, _pow2_at_least(
+            sel.shape[0], lo=128))), cap=int(tier_cfg.cap),
+            reads=int(sel.shape[0]), failed=len(set(failed)),
+            sec=round(_time.time() - t0, 2)))
         sel = np.array(sorted(set(failed)), dtype=np.int64)
+    counters["tiers"] = tier_log
 
     sel = np.concatenate([sel, np.flatnonzero(dov_all).astype(np.int64)])
     if sel.size:
@@ -409,7 +506,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     # one forward D pass: search bounds + difficulty ordering + escalation
     Dr_all, Dsr_all, dov_raw = calc_d_all(
         didx, reads, params, batch=min(lanes, _pow2_at_least(NR)),
-        d_cap=d_cap)
+        d_cap=d_cap, host_idx=idx)
     import jax as _jax
     _jax.block_until_ready((Dr_all, Dsr_all))
     t_dbounds = _time.time() - t_start

@@ -36,6 +36,8 @@ class FMIndex:
     Carr: np.ndarray     # int64 [17] prefix counts, excludes the sa0 row
     occ: np.ndarray      # int64 [num_occ, 16] checkpoints every OCC_INTERVAL
     sa: np.ndarray       # int64 [num_sa] samples every SA_INTERVAL
+    _planes: np.ndarray | None = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     # ------------------------------------------------------------------ build
 
@@ -138,6 +140,24 @@ class FMIndex:
 
     def C_(self, c: int) -> int:
         return int(self.Carr[c])
+
+    def bit_planes(self) -> np.ndarray:
+        """uint64 [4, nwords] BWT bit planes (bit t of the code at
+        position p is planes[t, p // 64] bit p % 64); built once and
+        cached — the native D-bound scanner's rank substrate."""
+        if self._planes is None:
+            n = self.length
+            nwords = -(-n // 64)
+            pad = np.zeros(nwords * 64, dtype=np.uint8)
+            pad[:n] = self.bwt
+            bits = pad.reshape(nwords, 64).astype(np.uint64)
+            w = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            planes = np.zeros((4, nwords), dtype=np.uint64)
+            for t in range(4):
+                planes[t] = (((bits >> np.uint64(t)) & np.uint64(1)) * w
+                             ).sum(axis=1, dtype=np.uint64)
+            object.__setattr__(self, "_planes", planes)
+        return self._planes
 
     def O(self, c: int, i: int) -> int:
         """Rank of char c at position i (O, bwt.c:348-372)."""

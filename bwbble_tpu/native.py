@@ -30,6 +30,33 @@ def _lib_candidates():
 
 class _Native:
     def __init__(self, lib: ctypes.CDLL):
+        self._has_calc_d = hasattr(lib, "bwbble_calc_d_multiref")
+        self._has_gold = hasattr(lib, "bwbble_gold_align_multiref")
+        if self._has_gold:
+            lib.bwbble_gold_align_multiref.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bwbble_gold_align_multiref.restype = ctypes.c_int64
+        if self._has_calc_d:
+            lib.bwbble_calc_d_multiref.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bwbble_calc_d_multiref.restype = ctypes.c_int
         self._lib = lib
         lib.bwbble_sais_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -80,6 +107,68 @@ class _Native:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
 
+
+    def calc_d_multiref(self, planes: np.ndarray, occ: np.ndarray,
+                        Carr: np.ndarray, length: int, sa0: int,
+                        interval: int, nucl_bases: np.ndarray,
+                        read: np.ndarray, read_len: int) -> np.ndarray | None:
+        """Unbounded-interval-list D bounds for one read (the reference's
+        calculate_d, inexact_match.c:171-254); None if the library predates
+        the function.  planes: uint64 [4, nwords] BWT bit planes."""
+        if not self._has_calc_d:
+            return None
+        D = np.zeros((read_len + 1, 2), dtype=np.int64)
+        read = np.ascontiguousarray(read[:read_len], dtype=np.int8)
+        rc = self._lib.bwbble_calc_d_multiref(
+            planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(planes.shape[1]),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            Carr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(length), ctypes.c_int64(sa0),
+            ctypes.c_int64(interval),
+            nucl_bases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int(nucl_bases.shape[1]),
+            read.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int64(read_len),
+            D.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise RuntimeError(f"native calc_d failed with code {rc}")
+        return D
+
+    def gold_align_multiref(self, planes, occ, Carr, length, sa0, interval,
+                            tables, pp, seq, rc, read_len, cap=4096,
+                            stats: dict | None = None):
+        """Native bounded DFS for one read (the gold engine's
+        inexact_match); returns (meta int64 [n,8], paths uint8 [n,256]) or
+        None when unsupported / capacity exceeded (caller falls back to
+        the Python gold engine)."""
+        if not self._has_gold:
+            return None
+        meta = np.zeros((cap, 8), dtype=np.int64)
+        paths = np.zeros((cap, 256), dtype=np.uint8)
+        pops = np.zeros(1, dtype=np.int64)
+        seq = np.ascontiguousarray(seq[:read_len], dtype=np.int8)
+        rc = np.ascontiguousarray(rc[:read_len], dtype=np.int8)
+        n = self._lib.bwbble_gold_align_multiref(
+            planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(planes.shape[1]),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            Carr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(length), ctypes.c_int64(sa0),
+            ctypes.c_int64(interval),
+            tables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int64(read_len), ctypes.c_int64(cap),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            paths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if stats is not None:
+            stats["pops"] = int(pops[0])
+        if n < 0:
+            return None
+        return meta[:n], paths[:n]
 
     def parse_fastq(self, data: bytes):
         """Two-pass FASTQ parse into fixed-shape nt4 batches; returns

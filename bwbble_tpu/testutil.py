@@ -31,24 +31,34 @@ def random_genome_fasta(path: str, lengths: dict[str, int], seed: int = 0,
 
 
 def random_genome_with_repeats_fasta(path: str, name: str, n: int,
-                                     seed: int = 0, repeat_frac: float = 0.3,
+                                     seed: int = 0, repeat_frac: float = 0.15,
                                      block: int = 500,
-                                     mut_rate: float = 0.02,
+                                     mut_rate: float = 0.05,
+                                     chains: bool = False,
                                      line_len: int = 60) -> None:
     """Genome with repeat structure: built block-by-block; with probability
-    `repeat_frac` a block is a copy of an earlier block with `mut_rate`
-    point mutations (diverged repeats — the structure that widens SA
-    intervals and deepens the search on real genomes)."""
+    `repeat_frac` a block is a copy of an earlier FRESH block with
+    `mut_rate` point mutations (diverged repeats — the structure that
+    widens SA intervals and deepens the search on real genomes).
+
+    chains=True additionally allows copies OF copies (preferential
+    attachment): family sizes then follow a rich-get-richer law and the
+    largest families reach hundreds of near-identical members, the
+    pathological Alu-like regime where per-read search work explodes
+    (bench.py --hard uses this)."""
     rng = np.random.default_rng(seed)
     nblocks = -(-n // block)
     blocks: list[np.ndarray] = []
+    fresh: list[int] = []
     for i in range(nblocks):
-        if blocks and rng.random() < repeat_frac:
-            src = blocks[int(rng.integers(0, len(blocks)))].copy()
+        if fresh and rng.random() < repeat_frac:
+            pool = blocks if chains else [blocks[j] for j in fresh]
+            src = pool[int(rng.integers(0, len(pool)))].copy()
             k = rng.random(block) < mut_rate
             src[k] = BASES[rng.integers(0, 4, size=int(k.sum()))]
             blocks.append(src)
         else:
+            fresh.append(i)
             blocks.append(BASES[rng.integers(0, 4, size=block)])
     seq = np.concatenate(blocks)[:n]
     with open(path, "w") as f:

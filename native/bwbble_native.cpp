@@ -261,4 +261,470 @@ int bwbble_fastq_fill(const uint8_t* data, int64_t n, int64_t count,
   return 0;
 }
 
+// ----------------------------------------------------- multiref D bounds
+//
+// Host-side lower-bound computation with UNBOUNDED interval lists, used
+// when a read's lists exceed the device engine's fixed slot capacity
+// (on IUPAC-dense multi-genomes the exact forward scan can carry
+// thousands of disjoint SA intervals; the reference's calculate_d keeps
+// them in unbounded linked lists, inexact_match.c:171-254).  Semantics
+// mirror bwbble_tpu/gold/engine.py::calculate_d and are byte-parity
+// tested against it.  Rank queries run on caller-provided BWT bit planes
+// (4 x uint64 words) with masked popcounts.
+
+namespace {
+
+struct DIdx {
+  const uint64_t* planes;  // [4][nwords], bit t of code at position p is
+                           // planes[t*nwords + p/64] bit (p%64)
+  int64_t nwords;
+  const int64_t* occ;      // [nb, 16] checkpoint counts (sentinel-skipped)
+  const int64_t* Carr;     // [17]
+  int64_t length, sa0, interval;
+
+  // #positions in [a, b] whose code equals c (a >= 0)
+  int64_t count_range(int c, int64_t a, int64_t b) const {
+    if (a > b) return 0;
+    int64_t w0 = a >> 6, w1 = b >> 6, cnt = 0;
+    for (int64_t w = w0; w <= w1; ++w) {
+      uint64_t m = ~uint64_t(0);
+      for (int t = 0; t < 4; ++t) {
+        uint64_t pl = planes[t * nwords + w];
+        m &= ((c >> t) & 1) ? pl : ~pl;
+      }
+      if (w == w0) m &= ~uint64_t(0) << (a & 63);
+      if (w == w1) {
+        int hi = int(b & 63);
+        m &= (hi == 63) ? ~uint64_t(0) : ((uint64_t(1) << (hi + 1)) - 1);
+      }
+      cnt += __builtin_popcountll(m);
+    }
+    return cnt;
+  }
+
+  int64_t O(int c, int64_t i) const {
+    if (i == length - 1) return Carr[c + 1] - Carr[c];
+    if (i < 0) return 0;
+    int64_t k = i / interval, base = k * interval;
+    int64_t cnt = count_range(c, base + 1, i);
+    if (c == 0 && base < sa0 && sa0 <= i) --cnt;  // bwt.c:363-369
+    return occ[k * 16 + c] + cnt;
+  }
+};
+
+}  // namespace
+
+namespace {
+
+void calc_d_core(const DIdx& ix, const uint8_t* nucl_bases, int nb_per,
+                 const int8_t* read, int64_t read_len, int64_t* D);
+
+}  // namespace
+
+extern "C" int bwbble_calc_d_multiref(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* nucl_bases, int nb_per, const int8_t* read,
+    int64_t read_len, int64_t* D /* [read_len+1][2] */) {
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval};
+  calc_d_core(ix, nucl_bases, nb_per, read, read_len, D);
+  return 0;
+}
+
+namespace {
+
+void calc_d_core(const DIdx& ix, const uint8_t* nucl_bases, int nb_per,
+                 const int8_t* read, int64_t read_len, int64_t* D) {
+  const int64_t* Carr = ix.Carr;
+  const int64_t full_L = 0, full_U = ix.length - 1;
+  std::vector<std::pair<int64_t, int64_t>> curr, next;
+  curr.emplace_back(full_L, full_U);
+  int64_t z = 0;
+  for (int64_t i = read_len - 1; i >= 0; --i) {
+    int c = read[i];
+    int64_t num_matches = 0;
+    if (c < 0 || c > 3) {
+      curr.clear();
+    } else {
+      next.clear();
+      for (const auto& lu : curr) {
+        for (int b = 0; b < nb_per; ++b) {
+          int base = nucl_bases[c * nb_per + b];
+          int64_t L = Carr[base] + ix.O(base, lu.first - 1) + 1;
+          int64_t U = Carr[base] + ix.O(base, lu.second);
+          if (L <= U) {
+            num_matches += U - L + 1;
+            // adjoining-interval merge on insert (add_sa_interval,
+            // align.c:93-110)
+            if (!next.empty() && L == next.back().second + 1)
+              next.back().second = U;
+            else
+              next.emplace_back(L, U);
+          }
+        }
+      }
+      curr.swap(next);
+    }
+    if (curr.empty()) {
+      curr.emplace_back(full_L, full_U);
+      ++z;
+      num_matches = full_U - full_L + 1;
+    }
+    D[(read_len - 1 - i) * 2] = z;
+    D[(read_len - 1 - i) * 2 + 1] = num_matches;
+  }
+  D[read_len * 2] = z + 1;
+  D[read_len * 2 + 1] = 0;
+}
+
+}  // namespace
+
+// --------------------------------------------------------- gold DFS engine
+//
+// Host fallback for reads whose search state exceeds the device engine's
+// fixed capacities (deep repeat/IUPAC pathologies).  This is a C++ port of
+// the package's own reference-semantics model, bwbble_tpu/gold/engine.py
+// (inexact_match + exact_match_bounded + the score-bucket heap), and is
+// byte-parity tested against it; that Python model in turn mirrors the
+// published BWA-style bounded search (inexact_match.c:256-506).  ~100-500x
+// faster than the Python model per read, which turns fallback storms from
+// minutes into milliseconds.
+
+namespace {
+
+constexpr int kPathCap = 256;  // reads are capped at 255 upstream (Q5)
+
+struct GEntry {
+  int64_t L, U;
+  int32_t i, mm, go, ge, state, snps, score;
+  int32_t path_len;
+  uint8_t path[kPathCap];
+};
+
+struct GoldHeap {
+  std::vector<std::vector<GEntry>> buckets;
+  int64_t best, count = 0;
+  explicit GoldHeap(int64_t nb) : buckets(nb), best(nb) {}
+  void push(GEntry&& e) {
+    int64_t s = e.score;
+    buckets[s].push_back(std::move(e));
+    ++count;
+    if (s < best) best = s;
+  }
+  GEntry pop() {
+    auto& b = buckets[best];
+    GEntry e = std::move(b.back());
+    b.pop_back();
+    --count;
+    if (b.empty() && count) {
+      int64_t s = best + 1;
+      int64_t nb = static_cast<int64_t>(buckets.size());
+      while (s < nb && buckets[s].empty()) ++s;
+      best = s;
+    } else if (count == 0) {
+      best = static_cast<int64_t>(buckets.size());
+    }
+    return e;
+  }
+};
+
+struct GoldTables {
+  const uint8_t* nucl_bases;  // [4][7]
+  const uint8_t* gray_val;    // [16]
+  const uint8_t* nt4_gray_val;  // [5]
+  const uint8_t* is_snp;      // [16]
+  const uint8_t* skipped;     // [16] 1 = B/H/V/D (quirk Q1)
+};
+
+// All-chars bound vector with quirk Q1 semantics
+// (FMIndex.O_alphabet; bwt.c:374-438 + get_occ_count_alphabet :689-781).
+void o_alphabet(const DIdx& ix, const GoldTables& t, int64_t i, int64_t inc,
+                int64_t out[16]) {
+  out[0] = 0;
+  if (i == ix.length - 1) {
+    for (int j = 1; j < 16; ++j) out[j] = ix.Carr[j + 1] + inc;
+    return;
+  }
+  if (i < 0) {
+    for (int j = 1; j < 16; ++j) out[j] = ix.Carr[j] + inc;
+    return;
+  }
+  int64_t k = i / ix.interval, base = k * ix.interval;
+  int first = 0;
+  for (int tt = 0; tt < 4; ++tt)
+    first |= ((ix.planes[tt * ix.nwords + (base >> 6)] >> (base & 63)) & 1)
+             << tt;
+  for (int j = 1; j < 16; ++j) {
+    if (t.skipped[j]) {
+      // no checkpoint/in-block count; only the double-count decrement of
+      // the checkpoint's first char leaks through (quirk Q1, bwt.c:780)
+      out[j] = ix.Carr[j] + inc - (first == j ? 1 : 0);
+    } else {
+      // count_range is already base-EXCLUSIVE, so no first-char decrement
+      out[j] = ix.Carr[j] + ix.occ[k * 16 + j]
+               + ix.count_range(j, base + 1, i) + inc;
+    }
+  }
+}
+
+// merged-on-insert interval list append (add_sa_interval, align.c:93-110)
+inline void add_intv(std::vector<std::pair<int64_t, int64_t>>& v, int64_t L,
+                     int64_t U) {
+  if (!v.empty() && L == v.back().second + 1)
+    v.back().second = U;
+  else
+    v.emplace_back(L, U);
+}
+
+// exact completion scan (exact_match_bounded, exact_match.c:66-119)
+std::vector<std::pair<int64_t, int64_t>> exact_bounded(
+    const DIdx& ix, const GoldTables& t, const int8_t* read, int64_t l,
+    int64_t u, int64_t i) {
+  std::vector<std::pair<int64_t, int64_t>> curr{{l, u}}, nxt;
+  for (int64_t r = i; r >= 0; --r) {
+    int c = read[r];
+    if (c < 0 || c > 3) return {};
+    nxt.clear();
+    for (const auto& lu : curr) {
+      for (int b = 0; b < 7; ++b) {
+        int base = t.nucl_bases[c * 7 + b];
+        int64_t L = ix.Carr[base] + ix.O(base, lu.first - 1) + 1;
+        int64_t U = ix.Carr[base] + ix.O(base, lu.second);
+        if (L <= U) add_intv(nxt, L, U);
+      }
+    }
+    curr.swap(nxt);
+    if (curr.empty()) break;
+  }
+  return curr;
+}
+
+struct GoldParams {
+  int64_t mm, go, ge, max_diff, max_gapo, max_gape, seed_len, max_diff_seed,
+      max_best, no_indel, max_entries, num_buckets;
+  int64_t score(int64_t m, int64_t o, int64_t e) const {
+    return m * mm + o * go + e * ge;
+  }
+};
+
+struct GoldOut {
+  int64_t cap, n = 0;
+  int64_t* meta;     // [cap][8]: score,L,U,mm,go,ge,snps,len
+  uint8_t* paths;    // [cap][kPathCap]
+  bool overflow = false;
+
+  // record with the gap-dedup of add_alignment (align.c:271-298)
+  void add(const GEntry& e, int64_t L, int64_t U, int64_t score,
+           int64_t aln_length) {
+    if (e.go) {
+      for (int64_t a = 0; a < n; ++a)
+        if (meta[a * 8 + 1] == L && meta[a * 8 + 2] == U) return;
+    }
+    if (n >= cap) {
+      overflow = true;
+      return;
+    }
+    int64_t* m = meta + n * 8;
+    m[0] = score; m[1] = L; m[2] = U; m[3] = e.mm; m[4] = e.go; m[5] = e.ge;
+    m[6] = e.snps; m[7] = aln_length;
+    uint8_t* pp = paths + n * kPathCap;
+    std::memset(pp, 0, kPathCap);
+    std::memcpy(pp, e.path, std::min<int64_t>(e.path_len, aln_length));
+    ++n;
+  }
+};
+
+}  // namespace
+
+extern "C" void bwbble_dbg_oalpha(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* tables, int64_t i, int64_t inc, int64_t* out16) {
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval};
+  GoldTables t{tables, tables + 28, tables + 44, tables + 49, tables + 65};
+  o_alphabet(ix, t, i, inc, out16);
+}
+
+extern "C" int64_t bwbble_gold_align_multiref(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* tables /* nucl_bases 28 | gray_val 16 | nt4_gray_val 5 |
+                             is_snp 16 | skipped 16 */,
+    const int64_t* pp /* GoldParams fields in order */, const int8_t* seq,
+    const int8_t* rc, int64_t read_len, int64_t cap, int64_t* out_meta,
+    uint8_t* out_paths, int64_t* n_pops /* nullable diagnostics */) {
+  if (read_len <= 0 || read_len > 255) return -2;
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval};
+  GoldTables t{tables, tables + 28, tables + 44, tables + 49, tables + 65};
+  GoldParams p;
+  std::memcpy(&p, pp, sizeof(p));
+  GoldOut out{cap, 0, out_meta, out_paths};
+
+  int64_t count_n = 0;
+  for (int64_t i = 0; i < read_len; ++i) count_n += (rc[i] > 3 || rc[i] < 0);
+  if (count_n > p.max_diff) return 0;
+
+  // D bounds from the forward sequence (align_read_gold,
+  // bwbble_tpu/align/pipeline.py; D rows are (num_diff, width))
+  std::vector<int64_t> D((read_len + 1) * 2), Ds;
+  calc_d_core(ix, t.nucl_bases, 7, seq, read_len, D.data());
+  int64_t seed_n = 0;
+  if (p.seed_len > 0 && read_len > p.seed_len) {
+    seed_n = p.seed_len;
+    Ds.resize((seed_n + 1) * 2);
+    calc_d_core(ix, t.nucl_bases, 7, seq, seed_n, Ds.data());
+  } else {
+    Ds.assign((p.seed_len + 1) * 2, 0);
+  }
+
+  GoldHeap heap(p.num_buckets);
+  {
+    GEntry root{};
+    root.L = 0; root.U = length - 1; root.i = int32_t(read_len);
+    root.state = 0; root.path_len = 0; root.score = 0;
+    heap.push(std::move(root));
+  }
+  int64_t best_score = p.score(p.max_diff + 1, p.max_gapo + 1,
+                               p.max_gape + 1);
+  int64_t max_diff = p.max_diff, num_best = 0;
+  const int STATE_M = 0, STATE_I = 1, STATE_D = 2;
+
+  int64_t pops = 0;
+  while (heap.count != 0) {
+    if (heap.count > p.max_entries) break;
+    GEntry e = heap.pop();
+    ++pops;
+
+    if (e.score > best_score + p.mm) break;
+    int64_t diff_left = max_diff - e.mm - e.go - e.ge;
+    if (diff_left < 0) continue;
+    if (e.i > 0 && diff_left < D[(e.i - 1) * 2]) continue;
+    int64_t dls = p.max_diff_seed - e.mm - e.go - e.ge;
+    int64_t seed_index = e.i - (read_len - p.seed_len);
+    if (seed_index > 0 && dls < Ds[(seed_index - 1) * 2]) continue;
+
+    if (e.i == 0) {
+      int64_t score = p.score(e.mm, e.go, e.ge);
+      if (out.n == 0) {
+        best_score = score;
+        max_diff = std::min<int64_t>(e.mm + e.go + e.ge + 1, p.max_diff);
+      }
+      if (score == best_score)
+        num_best += e.U - e.L + 1;
+      else if (num_best > p.max_best)
+        break;
+      out.add(e, e.L, e.U, score, e.path_len);
+      if (out.overflow) return -1;
+      continue;
+    }
+
+    if (diff_left == 0) {
+      auto intvs = exact_bounded(ix, t, rc, e.L, e.U, e.i - 1);
+      if (!intvs.empty()) {
+        int64_t score = p.score(e.mm, e.go, e.ge);
+        if (out.n == 0) {
+          best_score = score;
+          max_diff = std::min<int64_t>(e.mm + e.go + e.ge + 1, p.max_diff);
+        }
+        if (score == best_score) {
+          for (const auto& lu : intvs) num_best += lu.second - lu.first + 1;
+        } else if (num_best > p.max_best) {
+          break;
+        }
+        int64_t aln_length = e.path_len + e.i;
+        for (const auto& lu : intvs) {
+          out.add(e, lu.first, lu.second, score, aln_length);
+          if (out.overflow) return -1;
+        }
+      }
+      continue;
+    }
+
+    int64_t Lv[16], Uv[16];
+    o_alphabet(ix, t, e.L - 1, 1, Lv);
+    o_alphabet(ix, t, e.U, 0, Uv);
+
+    bool allow_diff = true, allow_indels = true, allow_mm = true;
+    bool allow_open = e.go < p.max_gapo, allow_extend = e.ge < p.max_gape;
+    if (e.i - 1 > 0) {
+      if (diff_left - 1 < D[(e.i - 2) * 2])
+        allow_diff = false;
+      else if (D[(e.i - 1) * 2] == diff_left - 1 &&
+               D[(e.i - 2) * 2] == diff_left - 1 &&
+               D[(e.i - 1) * 2 + 1] == D[(e.i - 2) * 2 + 1])
+        allow_mm = false;
+    }
+    if (seed_index - 1 > 0) {
+      if (dls - 1 < Ds[(seed_index - 2) * 2])
+        allow_diff = false;
+      else if (Ds[(seed_index - 1) * 2] == dls - 1 &&
+               Ds[(seed_index - 2) * 2] == dls - 1 &&
+               Ds[(seed_index - 1) * 2 + 1] == Ds[(seed_index - 2) * 2 + 1])
+        allow_mm = false;
+    }
+    int64_t tmp = e.go + e.ge;
+    if (e.i - 1 < p.no_indel + tmp ||
+        (read_len - (e.i - 1)) < p.no_indel + tmp)
+      allow_indels = false;
+    if (e.go >= p.max_gapo && e.ge >= p.max_gape) allow_indels = false;
+
+    auto push = [&](int32_t i, int64_t L, int64_t U, int32_t mm, int32_t go,
+                    int32_t ge, int32_t state, int32_t snps) {
+      GEntry c{};
+      c.L = L; c.U = U; c.i = i; c.mm = mm; c.go = go; c.ge = ge;
+      c.state = state; c.snps = snps & 0xFF;
+      c.score = int32_t(p.score(mm, go, ge));
+      c.path_len = std::min<int32_t>(e.path_len + 1, kPathCap);
+      std::memcpy(c.path, e.path, e.path_len);
+      if (e.path_len < kPathCap) c.path[e.path_len] = uint8_t(state);
+      heap.push(std::move(c));
+    };
+
+    // INDELS (inexact_match.c:434-463)
+    if (allow_diff && allow_indels) {
+      if (e.state == STATE_I) {
+        if (allow_extend)
+          push(e.i - 1, e.L, e.U, e.mm, e.go, e.ge + 1, STATE_I, e.snps);
+      } else {
+        if (allow_open && e.state == STATE_M)
+          push(e.i - 1, e.L, e.U, e.mm, e.go + 1, e.ge, STATE_I, e.snps);
+        for (int j = 1; j < 16; ++j) {
+          if (Lv[j] <= Uv[j]) {
+            if (e.state == STATE_M) {
+              if (allow_open)
+                push(e.i, Lv[j], Uv[j], e.mm, e.go + 1, e.ge, STATE_D,
+                     e.snps);
+            } else if (allow_extend) {
+              push(e.i, Lv[j], Uv[j], e.mm, e.go, e.ge + 1, STATE_D, e.snps);
+            }
+          }
+        }
+      }
+    }
+
+    // MATCH / MISMATCH (inexact_match.c:465-504)
+    int c = rc[e.i - 1];
+    if (allow_diff && allow_mm) {
+      for (int j = 1; j < 16; ++j) {
+        if (Lv[j] <= Uv[j]) {
+          bool is_mm = (c > 3 || c < 0 || t.gray_val[j] == 15 ||
+                        (t.nt4_gray_val[c] & t.gray_val[j]) == 0);
+          // j == ORDER_N is the gray_val[j] == 15 case above
+          push(e.i - 1, Lv[j], Uv[j], e.mm + (is_mm ? 1 : 0), e.go, e.ge,
+               STATE_M, e.snps + t.is_snp[j]);
+        }
+      }
+    } else if (c >= 0 && c < 4) {
+      for (int b = 0; b < 7; ++b) {
+        int base = t.nucl_bases[c * 7 + b];
+        if (Lv[base] <= Uv[base])
+          push(e.i - 1, Lv[base], Uv[base], e.mm, e.go, e.ge, STATE_M,
+               e.snps + t.is_snp[base]);
+      }
+    }
+  }
+  if (n_pops) *n_pops = pops;
+  return out.n;
+}
+
 }  // extern "C"

@@ -34,6 +34,7 @@ def oracle_binary() -> str:
 
 def main():
     easy = "--easy" in sys.argv
+    hard = "--hard" in sys.argv
     import bench as benchmod
     if easy:
         _idx, reads, world = benchmod.build_world_easy()
@@ -41,7 +42,7 @@ def main():
         fq = os.path.join(world, f"bench_{benchmod.NUM_READS}.fq")
         out = os.path.join(world, "baseline_easy.json")
     else:
-        _idx, reads, world = benchmod.build_world()
+        _idx, reads, world = benchmod.build_world(hard=hard)
         fa = os.path.join(world, "mg_bubble.fa")
         fq = os.path.join(world, f"reads_{benchmod.NUM_READS}.fq")
         out = os.path.join(world, "baseline.json")

@@ -40,6 +40,9 @@ def test_parallel_fallback_matches_serial(small_world):
     serial = gold_fallback_many(idx, reads, sel, params, None, n_threads=1)
     pooled = gold_fallback_many(idx, reads, sel, params, None, n_threads=3)
     assert serial == pooled
+    # with a default (large) batch size the escalation ladder's deep tiers
+    # (wider acap/kx) rescue the overflowing reads on-device: no gold
+    # fallback, but the reads retried and results still match gold exactly
     p2 = AlnParams(max_diff=2, n_threads=4)
     didx = from_fmindex(idx)
     cfg = EngineConfig(cap=1024, acap=1, kx=1, max_iters=50_000)
@@ -47,5 +50,30 @@ def test_parallel_fallback_matches_serial(small_world):
     dev = align_reads_device(idx, didx, reads, p2, cfg, d_cap=16,
                              stats=stats, sort_reads=False)
     gold = align_reads_gold(idx, reads, p2)
-    assert stats["fallback_reads"] > 0
+    assert stats["retried_reads"] > 0
     assert dev == gold
+
+
+def test_native_calc_d_matches_gold(small_world):
+    """The native unbounded-list D scanner must match gold calculate_d
+    exactly (it replaces whole-read gold fallback on D overflow)."""
+    import pytest
+    from bwbble_tpu import constants as C
+    from bwbble_tpu.gold.engine import calculate_d
+    from bwbble_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not getattr(nat, "_has_calc_d", False):
+        pytest.skip("native library not built")
+    idx = small_world["idx"]
+    reads = small_world["reads"]
+    params = AlnParams(max_diff=2)
+    nb = np.ascontiguousarray(C.NUCL_BASES, dtype=np.uint8)
+    planes = idx.bit_planes()
+    for r in range(0, 24, 3):
+        L = int(reads.lengths[r])
+        gold = calculate_d(idx, reads.seq[r], L, params)
+        natd = nat.calc_d_multiref(planes, idx.occ, idx.Carr, idx.length,
+                                   idx.sa0, C.OCC_INTERVAL, nb,
+                                   reads.seq[r], L)
+        assert np.array_equal(gold, natd)
