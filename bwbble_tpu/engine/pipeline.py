@@ -217,7 +217,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        window: int = 2, sort_reads: bool = True,
                        first_cap: int | None = None,
                        queued: bool = False, qchunk: int = 2,
-                       mesh=None) -> list[list[Aln]]:
+                       mesh=None,
+                       deep_tiers: bool | None = None) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
@@ -228,6 +229,9 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     tier with cfg.cap).  `queued`: continuous batching (lanes stream reads
     from a global queue); bit-identical results, wins on heterogeneous
     read sets (difficulty-sorted fixed batches win on uniform ones).
+    `deep_tiers`: force the narrow-lane escalation ladder on/off (None =>
+    auto: off when the native gold engine is available, which currently
+    beats the deep tiers on the heavy tail).
     """
     cfg = cfg or EngineConfig()
     nw = 6 if str(didx.idt) == "int64" else 4
@@ -379,13 +383,20 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     if first_cap is not None and first_cap < cfg.cap:
         tiers.append((B, dataclasses.replace(cfg, cap=int(first_cap))))
     tiers.append((B, cfg))
-    # deep narrow-lane tiers raise the per-read frame budget at constant
-    # arena memory; the native gold engine then takes whatever still
-    # overflows at ~1 us/pop (reference speed), so the two ladders are
-    # comparable per-read on the heavy tail and the deep tiers win
-    # slightly by keeping partial batches parallel
+    # Deep narrow-lane tiers raise the per-read frame budget at constant
+    # arena memory, but each launch burns up to NFRAME iterations at
+    # >=0.5 us/lane-iteration — measured SLOWER on the heavy tail than
+    # the native gold engine's ~1 us/pop.  So with the native library
+    # present, hard reads go straight to gold; the tiers remain for
+    # environments without it (they still beat Python gold by ~20x).
+    if deep_tiers is None:
+        from bwbble_tpu.native import get_native
+        _nat = get_native()
+        deep_tiers = not (params.is_multiref and _nat is not None
+                          and getattr(_nat, "_has_gold", False))
     cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
-    for deep_B, deep_kx in ((1024, 8), (256, 8), (64, 16)):
+    for deep_B, deep_kx in (((1024, 8), (256, 8), (64, 16)) if deep_tiers
+                            else ()):
         if deep_B < B:
             deep_cap = min(cell // deep_B, 4 << 20)
             tiers.append((deep_B, dataclasses.replace(

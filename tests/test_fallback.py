@@ -48,7 +48,7 @@ def test_parallel_fallback_matches_serial(small_world):
     cfg = EngineConfig(cap=1024, acap=1, kx=1, max_iters=50_000)
     stats: dict = {}
     dev = align_reads_device(idx, didx, reads, p2, cfg, d_cap=16,
-                             stats=stats, sort_reads=False)
+                             stats=stats, sort_reads=False, deep_tiers=True)
     gold = align_reads_gold(idx, reads, p2)
     assert stats["retried_reads"] > 0
     assert dev == gold
