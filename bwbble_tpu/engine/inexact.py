@@ -91,6 +91,10 @@ class EngineConfig:
     pathcap: int = 0          # reported path length bound (0 => Lmax + 32)
     flush: int = 64           # queue mode: max reads flushed per iteration
     xsteps: int = 1           # exact-completion chars advanced per iteration
+    # loop-body backend: "auto" = the Pallas mega-kernel (engine/kernel.py)
+    # on TPU for the configs it covers (fixed batch, int32, multiref, no
+    # seeds), XLA otherwise; "xla" / "pallas" force one path
+    backend: str = "auto"
 
 
 def _int(p, name):
@@ -808,7 +812,21 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["iters"] = st_["iters"] + 1
         return st_
 
-    st = jax.lax.while_loop(cond, body, state)
+    pallas_ok = (not QUEUED and not X64 and multiref and not HAS_SEEDS
+                 and cfg.xsteps == 1 and didx.tp_axis is None
+                 and B % 128 == 0)
+    use_pallas = (cfg.backend == "pallas"
+                  or (cfg.backend == "auto" and pallas_ok
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        if not pallas_ok:
+            raise NotImplementedError(
+                "backend='pallas' covers fixed-batch int32 multiref "
+                "searches without seeds (B a multiple of 128)")
+        from bwbble_tpu.engine import kernel as _pk
+        st = _pk.run_loop(didx, state, params, cfg, B, Lmax, NROOT)
+    else:
+        st = jax.lax.while_loop(cond, body, state)
     timeout = st["mode"] != MODE_DONE
 
     if QUEUED:

@@ -1,0 +1,733 @@
+"""Pallas TPU mega-kernel for the inexact-search loop body.
+
+Motivation (measured, STATUS.md round-2 perf model): the XLA loop body
+lowers to ~100 small fusions, and at the narrow lane counts the chr21
+workload forces (frame memory caps lanes at 64-1024 for deep reads) the
+per-iteration cost is pure dispatch overhead — ~0.10 ms at B=128 and
+~0.5 ms at B=1024, i.e. 0.5-0.8 us per lane-iteration, slower than the
+single-core C reference's ~0.4 us/pop (inexact_match.c:256-506).  This
+module fuses the ENTIRE iteration body — exact-completion step, DFS pop
+accounting, rank math, pruning, candidate construction, score-bucket
+linking, and alignment emission — into ONE Pallas kernel over VMEM-resident
+per-lane state, leaving only the latency-bound HBM row gathers (arena pop
+row + fused rank-table rows, both already ~0.3-2 ns/row on XLA's gather
+path), a few index/pick fusions, and the frame write in XLA glue.
+Dispatches per iteration: ~100 -> ~12.
+
+Layout: everything the kernel touches is LANE-MAJOR ([X, B] with the lane
+axis last) so per-lane scalars are (1, B) row vectors across the VPU's
+128 lanes; the gathered rank rows are transposed to [RQ*32, B] by one XLA
+transpose per iteration (~1.3 MB).  Sublane-major ([B, X]) layouts put
+per-lane scalars into (B, 1) columns that occupy one VPU lane — a 16x
+vector-op penalty.
+
+Bit-exactness: every computation mirrors engine/inexact.py's XLA body
+(itself parity-tested byte-for-byte against the compiled reference) with
+identical integer formulas and masked-select structure; the kernel is pure
+int32 arithmetic, so results are identical.  tests/test_kernel.py asserts
+equality of the result dict against the XLA body on the same inputs.
+
+Scope: fixed-batch mode, int32 indices, multiref, no precalc seeds (the
+chr21/easy headline configs).  Queue mode, int64, 1-to-1 (-S), seeds and
+xsteps>1 route to the XLA body via the EngineConfig.backend="auto" policy
+in engine/inexact.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bwbble_tpu import constants as C
+from bwbble_tpu.engine.device_index import BLK
+
+# set True in tests to run the kernel through the Pallas interpreter on CPU
+INTERPRET = False
+
+MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
+_SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
+
+# sv row layout ([NSV, B] plane): per-lane scalar state
+(_SV_MODE, _SV_BEST, _SV_MAXD, _SV_NBEST, _SV_NALN, _SV_OVER, _SV_NOPEN,
+ _SV_NPUSH, _SV_XCNT, _SV_XJ, _SV_XNODE, _SV_XM1, _SV_XM2,
+ _SV_POPPED) = range(14)
+NSV = 16
+
+# cdp row layout ([16, B] plane): glue-computed per-lane picks
+(_CD_CDFS, _CD_CX, _CD_D1N, _CD_D2N, _CD_D1W, _CD_D2W, _CD_S1N, _CD_S2N,
+ _CD_S1W, _CD_S2W, _CD_SEEDI, _CD_LEN) = range(12)
+
+_MATCH = np.asarray(C.MATCH_MATRIX, dtype=np.int32)      # [5, 16]
+_IS_SNP = np.asarray(C.IS_SNP, dtype=np.int32)
+_NUCL = np.asarray(C.NUCL_BASES, dtype=np.int32)         # [4, 7]
+_NB_PER = C.BASES_PER_NUCLEOTIDE                          # 7
+_SKIP = set(int(j) for j in C.SKIPPED_ORDERS)
+
+
+def _pack1(i, mm, go, ge, st, plen):
+    return (i | (mm << _SH_MM) | (go << _SH_GO) | (ge << _SH_GE)
+            | (st << _SH_ST) | (plen << _SH_PLEN))
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _shift_rows(x, k, fill):
+    """x shifted down by k along axis 0 (static k), fill on top.  Bool
+    arrays shift through int32 (Mosaic cannot concatenate i1 vectors)."""
+    if x.dtype == jnp.bool_:
+        return _shift_rows(x.astype(jnp.int32), k, int(bool(fill))) != 0
+    M = x.shape[0]
+    if k >= M:
+        return jnp.full_like(x, fill)
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:M - k]], axis=0)
+
+
+class _Static:
+    """Compile-time constants shared by the kernel and its glue."""
+
+    def __init__(self, params, cfg, B, Lmax, NROOT):
+        self.B = B
+        self.Lmax = Lmax
+        self.NROOT = NROOT
+        self.p_mm = int(params.mm_score)
+        self.p_go = int(params.gapo_score)
+        self.p_ge = int(params.gape_score)
+        self.p_maxdiff = int(params.max_diff)
+        self.p_maxgapo = int(params.max_gapo)
+        self.p_maxgape = int(params.max_gape)
+        self.p_seedlen = int(params.seed_length)
+        self.p_maxdiffseed = int(params.max_diff_seed)
+        self.p_maxbest = int(params.max_best)
+        self.p_noindel = int(params.no_indel_length)
+        self.p_maxentries = int(params.max_entries)
+        self.chars = tuple(j for j in range(1, 16) if j not in _SKIP)
+        self.NC = len(self.chars)
+        self.NSLOT = 1 + 2 * self.NC
+        self.ACAP = int(cfg.acap)
+        self.KX = int(cfg.kx)
+        self.CAP = int(cfg.cap)
+        self.NFRAME = (self.CAP - NROOT) // self.NSLOT - 1
+        self.ROWW = 128
+        self.PATHCAP = int(cfg.pathcap) or (Lmax + 32)
+        self.NB = ((self.p_maxdiff + 1) * self.p_mm
+                   + (self.p_maxgapo + 1) * self.p_go
+                   + (self.p_maxgape + 1) * self.p_ge)
+        self.worst = self.NB
+        # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
+        self.RQ = 2 + 2 * self.KX
+        self.W = 32          # fused table row width (int32 words)
+
+    def score_of(self, mm, go, ge):
+        return mm * self.p_mm + go * self.p_go + ge * self.p_ge
+
+
+# --------------------------------------------------------------------------
+# kernel internals (all arrays lane-major: trailing dim = lanes)
+# --------------------------------------------------------------------------
+
+def _rank16(S: _Static, i, rq, inc, dfs, LEN, carr):
+    """Occurrence bounds for all 16 codes at positions i for one query
+    stream (engine/rank.py:_rank_all; bwt.c:602-734 semantics incl. the
+    quirk-Q1 skipped-code path when dfs=True).
+
+    i: (1, B0) positions; rq(c): column c of the gathered rows as (1, B0)
+    (16 plane words + 16 checkpoint counts); inc: 0/1 static; carr:
+    17 scalars.  Returns 16 (1, B0) vectors.
+    """
+    len_m1 = LEN - 1
+    i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
+    k = i_c // BLK
+    off = i_c - k * BLK
+    masks = []
+    for w in range(4):
+        nbits = off + 1 - 32 * w
+        partial = (jnp.int32(1) << jnp.clip(nbits, 0, 31)) - 1
+        masks.append(jnp.where(nbits >= 32, jnp.int32(-1),
+                               jnp.where(nbits <= 0, jnp.int32(0), partial)))
+    pw = [rq(c) for c in range(16)]
+    ck = [rq(16 + c) for c in range(16)]
+    first = ((pw[0] & 1) | ((pw[4] & 1) << 1) | ((pw[8] & 1) << 2)
+             | ((pw[12] & 1) << 3))
+    is_high = i == len_m1
+    is_low = i < 0
+    out = []
+    for j in range(16):
+        if j == 0:
+            out.append(jnp.zeros_like(i))
+            continue
+        skip = dfs and (j in _SKIP)
+        if skip:
+            cnt = None
+        else:
+            cnt = None
+            for w in range(4):
+                m = None
+                for t in range(4):
+                    word = pw[4 * t + w]
+                    sel = word if ((j >> t) & 1) else ~word
+                    m = sel if m is None else (m & sel)
+                pc = jax.lax.population_count(m & masks[w])
+                cnt = pc if cnt is None else (cnt + pc)
+        fd = (first == j).astype(jnp.int32)
+        Cj = carr[j]
+        if cnt is None:
+            normal = Cj + inc - fd
+        else:
+            normal = Cj + ck[j] + cnt + inc - fd
+        low = Cj + inc
+        high = carr[j + 1] + inc
+        out.append(jnp.where(is_high, high, jnp.where(is_low, low, normal)))
+    return out
+
+
+def _pick_rows(arr, idx, T):
+    """arr[idx[b], b] for [T, B0] arr and (1, B0) idx via one-hot sum."""
+    rows = _iota(arr.shape, 0)
+    return jnp.sum(jnp.where(rows == idx, arr, 0), axis=0, keepdims=True,
+                   dtype=arr.dtype)
+
+
+def _emit(S: _Static, st, lanes, node, m1, m2, Ls, Us, cnt, extra_m):
+    """emit_alns of engine/inexact.py (inexact_match.c:331-375 +
+    add_alignment's gap dedup, align.c:271-298).  Ls/Us: lists of (1, B0)
+    slot-ordered intervals; mutates `st` in place; returns nothing."""
+    mm = (m1 >> _SH_MM) & 0x1F
+    go = (m1 >> _SH_GO) & 0x7
+    ge = (m1 >> _SH_GE) & 0xF
+    plen = (m1 >> _SH_PLEN) & 0x1FF
+    snp = m2 & 0xFF
+    score = S.score_of(mm, go, ge)
+
+    first_hit = lanes & (st["n_alns"] == 0)
+    best_diff = mm + go + ge
+    new_best = jnp.minimum(best_diff + 1, S.p_maxdiff)
+    st["best_score"] = jnp.where(first_hit, score, st["best_score"])
+    st["max_diff"] = jnp.where(first_hit, new_best, st["max_diff"])
+
+    width = jnp.zeros_like(node)
+    for s in range(len(Ls)):
+        width = width + jnp.where(s < cnt, Us[s] - Ls[s] + 1, 0)
+    is_best = score == st["best_score"]
+    st["num_best"] = st["num_best"] + jnp.where(lanes & is_best, width, 0)
+    stop = lanes & ~is_best & (st["num_best"] > S.p_maxbest)
+
+    col_a = _iota((S.ACAP, node.shape[1]), 0)
+    add_len = plen + extra_m
+    for s in range(len(Ls)):
+        Lv, Uv = Ls[s], Us[s]
+        ok = lanes & ~stop & (s < cnt)
+        dup = jnp.any((st["o_L"] == Lv) & (st["o_U"] == Uv)
+                      & (col_a < st["n_alns"]), axis=0, keepdims=True)
+        ok = ok & ~(dup & (go > 0))
+        full = ok & (st["n_alns"] >= S.ACAP)
+        ok = ok & ~full
+        st["overflow"] = st["overflow"] | full
+        sel = ok & (col_a == st["n_alns"])
+        st["o_L"] = jnp.where(sel, Lv, st["o_L"])
+        st["o_U"] = jnp.where(sel, Uv, st["o_U"])
+        st["o_score"] = jnp.where(sel, score, st["o_score"])
+        st["o_len"] = jnp.where(sel, add_len, st["o_len"])
+        st["o_node"] = jnp.where(sel, node, st["o_node"])
+        st["o_m1"] = jnp.where(sel, m1, st["o_m1"])
+        st["o_snp"] = jnp.where(sel, snp, st["o_snp"])
+        st["n_alns"] = st["n_alns"] + ok.astype(jnp.int32)
+    st["mode"] = jnp.where(stop, jnp.int32(MODE_DONE), st["mode"])
+
+
+def _merge_compact(S: _Static, candL, candU, valid, K):
+    """engine/intervals.py:merge_compact on [M, B0] arrays: carry-last-
+    valid-U log-scan, chain-head flags, prefix-sum group ids, one-hot
+    chain reductions (add_sa_interval merge semantics, align.c:93-110)."""
+    M, B0 = candL.shape
+    vU = jnp.where(valid, candU, -2)
+    vF = valid
+    sh = 1
+    while sh < M:
+        vU = jnp.where(vF, vU, _shift_rows(vU, sh, -2))
+        vF = vF | _shift_rows(vF, sh, False)
+        sh <<= 1
+    prevU = _shift_rows(vU, 1, -2)
+    head = valid & (candL != prevU + 1)
+    gs = head.astype(jnp.int32)
+    sh = 1
+    while sh < M:
+        gs = gs + _shift_rows(gs, sh, 0)
+        sh <<= 1
+    gid = gs - 1
+    newcnt = jnp.max(jnp.where(valid, gid + 1, 0), axis=0, keepdims=True)
+
+    g = _iota((K, M, B0), 0)
+    is_g = gid[None] == g
+    Lmin = jnp.sum(jnp.where(is_g & head[None], candL[None], 0), axis=1,
+                   dtype=candL.dtype)                          # [K, B0]
+    Umax = jnp.max(jnp.where(is_g & valid[None], candU[None], -1), axis=1)
+
+    overflow = newcnt > K
+    newcnt = jnp.minimum(newcnt, K)
+    live = _iota((K, B0), 0) < newcnt
+    newLs = jnp.where(live, Lmin, 0)
+    newUs = jnp.where(live, Umax, -1)
+    return newLs, newUs, newcnt, overflow
+
+
+def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
+                 cdp_ref, head_ref, sv_ref, oa_ref, xa_ref,
+                 head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o):
+    B0 = head_ref.shape[1]
+    fcnt = scal_ref[0, 0]
+    LEN = scal_ref[0, 1]
+    carr = [carr_ref[0, j] for j in range(17)]
+    rq_of = lambda q: (lambda c: rows_ref[q * S.W + c:q * S.W + c + 1, :])
+
+    eL = node4_ref[0:1, :]
+    eU = node4_ref[1:2, :]
+    m1 = node4_ref[2:3, :]
+    m2 = node4_ref[3:4, :]
+    cd = lambda r: cdp_ref[r:r + 1, :]
+
+    head = head_ref[:]                          # [NB, B0]
+    sv = lambda k: sv_ref[k:k + 1, :]
+    st = dict(
+        mode=sv(_SV_MODE), best_score=sv(_SV_BEST), max_diff=sv(_SV_MAXD),
+        num_best=sv(_SV_NBEST), n_alns=sv(_SV_NALN),
+        overflow=sv(_SV_OVER) != 0, n_open=sv(_SV_NOPEN),
+        n_pushed=sv(_SV_NPUSH), x_cnt=sv(_SV_XCNT), x_j=sv(_SV_XJ),
+        x_node=sv(_SV_XNODE), x_m1=sv(_SV_XM1), x_m2=sv(_SV_XM2),
+        o_L=oa_ref[0 * S.ACAP:1 * S.ACAP, :],
+        o_U=oa_ref[1 * S.ACAP:2 * S.ACAP, :],
+        o_score=oa_ref[2 * S.ACAP:3 * S.ACAP, :],
+        o_len=oa_ref[3 * S.ACAP:4 * S.ACAP, :],
+        o_node=oa_ref[4 * S.ACAP:5 * S.ACAP, :],
+        o_m1=oa_ref[5 * S.ACAP:6 * S.ACAP, :],
+        o_snp=oa_ref[6 * S.ACAP:7 * S.ACAP, :],
+        x_L=xa_ref[:S.KX, :], x_U=xa_ref[S.KX:, :],
+    )
+
+    # ---------------- exact-completion step (engine/inexact.py:exact_step)
+    lanesx = st["mode"] == MODE_EXACT
+    j = st["x_j"]
+    c = jnp.where(lanesx & (j >= 0), cd(_CD_CX), 4)
+    c_lt4 = c < 4
+    candL_l, candU_l, valid_l = [], [], []
+    for k in range(S.KX):
+        xL = st["x_L"][k:k + 1, :]
+        xU = st["x_U"][k:k + 1, :]
+        occL = _rank16(S, xL - 1, rq_of(2 + k), 1, False, LEN, carr)
+        occU = _rank16(S, xU, rq_of(2 + S.KX + k), 0, False, LEN, carr)
+        k_live = k < st["x_cnt"]
+        for s in range(_NB_PER):
+            cl = jnp.zeros_like(xL)
+            cu = jnp.zeros_like(xL)
+            for base in range(4):
+                sym = int(_NUCL[base, s])
+                cl = jnp.where(c == base, occL[sym], cl)
+                cu = jnp.where(c == base, occU[sym], cu)
+            candL_l.append(cl)
+            candU_l.append(cu)
+            valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
+    candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
+    candUx = jnp.concatenate(candU_l, axis=0)
+    validx = jnp.concatenate(valid_l, axis=0) != 0
+    nLs, nUs, ncnt, ovx = _merge_compact(S, candLx, candUx, validx, S.KX)
+
+    adv = lanesx
+    nLs = jnp.where(adv, nLs, st["x_L"])
+    nUs = jnp.where(adv, nUs, st["x_U"])
+    ncnt = jnp.where(adv, ncnt, st["x_cnt"])
+    nj = jnp.where(adv, j - 1, j)
+    st["overflow"] = st["overflow"] | (adv & ovx)
+    st["x_L"], st["x_U"], st["x_cnt"], st["x_j"] = nLs, nUs, ncnt, nj
+
+    finished = adv & ((ncnt == 0) | (nj < 0))
+    matched = finished & (ncnt > 0)
+    a_i = st["x_m1"] & 0xFF
+    _emit(S, st, matched, st["x_node"], st["x_m1"], st["x_m2"],
+          [nLs[s:s + 1, :] for s in range(S.KX)],
+          [nUs[s:s + 1, :] for s in range(S.KX)],
+          jnp.where(matched, ncnt, 0), a_i)
+    st["mode"] = jnp.where(finished & (st["mode"] == MODE_EXACT),
+                           jnp.int32(MODE_DFS), st["mode"])
+
+    # ------------------------------- DFS step (engine/inexact.py:dfs_step)
+    lanes = st["mode"] == MODE_DFS
+    drained = lanes & (st["n_open"] == 0)
+    too_many = lanes & (st["n_open"] > S.p_maxentries)
+    st["mode"] = jnp.where(drained | too_many, jnp.int32(MODE_DONE),
+                           st["mode"])
+    lanes = st["mode"] == MODE_DFS
+
+    row_b = _iota((S.NB, B0), 0)
+    occ_b = head >= 0
+    bucket = jnp.min(jnp.where(occ_b, row_b, S.NB), axis=0, keepdims=True)
+    node = jnp.where(lanes, _pick_rows(head, bucket, S.NB), 0)
+    ei = m1 & 0xFF
+    emm = (m1 >> _SH_MM) & 0x1F
+    ego = (m1 >> _SH_GO) & 0x7
+    ege = (m1 >> _SH_GE) & 0xF
+    est = (m1 >> _SH_ST) & 0x3
+    eplen = (m1 >> _SH_PLEN) & 0x1FF
+    esnp = m2 & 0xFF
+    prev = (m2 >> 8) - 1
+    escore = bucket
+    head = jnp.where(lanes & (row_b == bucket), prev, head)
+    st["n_open"] = st["n_open"] - lanes.astype(jnp.int32)
+
+    stop = lanes & (escore > st["best_score"] + S.p_mm)
+    st["mode"] = jnp.where(stop, jnp.int32(MODE_DONE), st["mode"])
+    lanes = lanes & ~stop
+
+    diff_left = st["max_diff"] - emm - ego - ege
+    cont = diff_left < 0
+    cont = cont | ((ei > 0) & (diff_left < cd(_CD_D1N)))
+    dls = S.p_maxdiffseed - emm - ego - ege
+    seed_pos = cd(_CD_SEEDI)
+    cont = cont | ((seed_pos > 0) & (dls < cd(_CD_S1N)))
+    live = lanes & ~cont
+
+    hit = live & (ei == 0)
+    _emit(S, st, hit, node, m1, m2, [eL], [eU], hit.astype(jnp.int32),
+          jnp.zeros_like(ei))
+    live = live & ~hit & (st["mode"] == MODE_DFS)
+
+    to_exact = live & (diff_left == 0)
+    st["mode"] = jnp.where(to_exact, jnp.int32(MODE_EXACT), st["mode"])
+    st["x_node"] = jnp.where(to_exact, node, st["x_node"])
+    st["x_m1"] = jnp.where(to_exact, m1, st["x_m1"])
+    st["x_m2"] = jnp.where(to_exact, m2, st["x_m2"])
+    st["x_j"] = jnp.where(to_exact, ei - 1, st["x_j"])
+    st["x_cnt"] = jnp.where(to_exact, 1, st["x_cnt"])
+    xz = _iota((S.KX, B0), 0)
+    st["x_L"] = jnp.where(to_exact, jnp.where(xz == 0, eL, 0), st["x_L"])
+    st["x_U"] = jnp.where(to_exact, jnp.where(xz == 0, eU, -1), st["x_U"])
+    live = live & ~to_exact
+
+    # expansion ranks (rank_all_dfs_pair on the pre-gathered row pair)
+    Lv = _rank16(S, eL - 1, rq_of(0), 1, True, LEN, carr)
+    Uv = _rank16(S, eU, rq_of(1), 0, True, LEN, carr)
+
+    D1n, D2n = cd(_CD_D1N), cd(_CD_D2N)
+    D1w, D2w = cd(_CD_D1W), cd(_CD_D2W)
+    S1n, S2n = cd(_CD_S1N), cd(_CD_S2N)
+    S1w, S2w = cd(_CD_S1W), cd(_CD_S2W)
+    allow_diff = jnp.ones_like(lanes)
+    allow_mm = jnp.ones_like(lanes)
+    pm = ei - 1 > 0
+    ad1 = diff_left - 1 < D2n
+    am1 = (D1n == diff_left - 1) & (D2n == diff_left - 1) & (D1w == D2w)
+    allow_diff = allow_diff & ~(pm & ad1)
+    allow_mm = allow_mm & ~(pm & ~ad1 & am1)
+    ps = seed_pos - 1 > 0
+    ad2 = dls - 1 < S2n
+    am2 = (S1n == dls - 1) & (S2n == dls - 1) & (S1w == S2w)
+    allow_diff = allow_diff & ~(ps & ad2)
+    allow_mm = allow_mm & ~(ps & ~ad2 & am2)
+
+    lengths = cd(_CD_LEN)
+    tmp = ego + ege
+    allow_indels = ~(((ei - 1) < (S.p_noindel + tmp))
+                     | ((lengths - (ei - 1)) < (S.p_noindel + tmp)))
+    allow_indels = allow_indels & ~((ego >= S.p_maxgapo)
+                                    & (ege >= S.p_maxgape))
+    allow_open = ego < S.p_maxgapo
+    allow_extend = ege < S.p_maxgape
+
+    cdf = jnp.clip(cd(_CD_CDFS), 0, 4)
+    is_I = est == C.STATE_I
+    is_M = est == C.STATE_M
+    ind_ok = allow_diff & allow_indels
+    nplen = jnp.minimum(eplen + 1, S.PATHCAP - 1)
+    path_over = live & (eplen + 1 >= S.PATHCAP)
+
+    candL = [None] * S.NSLOT
+    candU = [None] * S.NSLOT
+    candM1 = [None] * S.NSLOT
+    candM2 = [None] * S.NSLOT
+    candSc = [None] * S.NSLOT
+    validc = [None] * S.NSLOT
+
+    ins_ok = ind_ok & ((is_I & allow_extend) | (is_M & allow_open))
+    validc[0] = live & ins_ok
+    candL[0] = eL
+    candU[0] = eU
+    go0 = ego + is_M.astype(jnp.int32)
+    ge0 = ege + is_I.astype(jnp.int32)
+    candM1[0] = _pack1(ei - 1, emm, go0, ge0, C.STATE_I, nplen)
+    candSc[0] = S.score_of(emm, go0, ge0)
+
+    for t, jj in enumerate(S.chars):
+        Lj, Uj = Lv[jj], Uv[jj]
+        nonempty = Lj <= Uj
+        del_ok = (ind_ok & ~is_I & nonempty
+                  & ((is_M & allow_open) | (~is_M & allow_extend)))
+        s = 1 + t
+        validc[s] = live & del_ok
+        candL[s] = Lj
+        candU[s] = Uj
+        god = ego + is_M.astype(jnp.int32)
+        ged = ege + (~is_M).astype(jnp.int32)
+        candM1[s] = _pack1(ei, emm, god, ged, C.STATE_D, nplen)
+        candSc[s] = S.score_of(emm, god, ged)
+
+        # match_row[c][jj] via a 5-way static select over read-base values
+        if jj == C.ORDER_N:
+            is_match = jnp.zeros_like(lanes)
+        else:
+            mr = jnp.zeros_like(cdf)
+            for base in range(5):
+                mr = jnp.where(cdf == base, int(_MATCH[base, jj]), mr)
+            is_match = (cdf <= 3) & (mr > 0)
+        member = is_match
+        mm_branch = allow_diff & allow_mm
+        ok_mm = mm_branch & nonempty
+        ok_ex = ~mm_branch & (cdf < 4) & member & nonempty
+        s = 1 + S.NC + t
+        validc[s] = live & (ok_mm | ok_ex)
+        candL[s] = Lj
+        candU[s] = Uj
+        mmn = emm + jnp.where(ok_mm & ~is_match, 1, 0)
+        candM1[s] = _pack1(ei - 1, mmn, ego, ege, C.STATE_M, nplen)
+        candSc[s] = S.score_of(mmn, ego, ege)
+
+    # frame bookkeeping (trash-frame overflow semantics)
+    base = S.NROOT + jnp.minimum(fcnt, S.NFRAME) * S.NSLOT
+    frame_over = fcnt >= S.NFRAME
+    st["overflow"] = st["overflow"] | path_over | (lanes & frame_over)
+    st["mode"] = jnp.where(lanes & frame_over, jnp.int32(MODE_DONE),
+                           st["mode"])
+
+    # score-bucket linking: sequential LIFO push of slots 0..NSLOT-1
+    # expressed as per-slot head-plane selects (the running head IS the
+    # XLA path's lastp/old_head combination; inexact_match.c:510-610)
+    total = jnp.zeros_like(ei)
+    for s in range(S.NSLOT):
+        v = validc[s] & ~frame_over
+        bsel = jnp.clip(candSc[s], 0, S.NB - 1)
+        prev_s = _pick_rows(head, bsel, S.NB)
+        snp_add = int(_IS_SNP[S.chars[s - 1 - S.NC]]) if s >= 1 + S.NC else 0
+        candM2[s] = ((esnp + snp_add) & 0xFF) | ((prev_s + 1) << 8)
+        head = jnp.where(v & (row_b == bsel), base + s, head)
+        total = total + v.astype(jnp.int32)
+    st["n_pushed"] = st["n_pushed"] + total
+    st["n_open"] = st["n_open"] + total
+
+    # ------------------------------------------------------------ outputs
+    occ2 = head >= 0
+    bucket2 = jnp.min(jnp.where(occ2, row_b, S.NB), axis=0, keepdims=True)
+    node_next = _pick_rows(head, bucket2, S.NB)
+    len_m1 = LEN - 1
+    xs_live = _iota((S.KX, B0), 0) < st["x_cnt"]
+    qL = jnp.where(xs_live, st["x_L"] - 1, 0)
+    qU = jnp.where(xs_live, st["x_U"], 0)
+    kxL = jnp.clip(qL, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
+    kxU = jnp.clip(qU, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
+
+    head_o[:] = head
+    zero = jnp.zeros_like(ei)
+    sv_o[:] = jnp.concatenate(
+        [st["mode"], st["best_score"], st["max_diff"], st["num_best"],
+         st["n_alns"], st["overflow"].astype(jnp.int32), st["n_open"],
+         st["n_pushed"], st["x_cnt"], st["x_j"], st["x_node"], st["x_m1"],
+         st["x_m2"], lanes.astype(jnp.int32), zero, zero], axis=0)
+    oa_o[:] = jnp.concatenate(
+        [st["o_L"], st["o_U"], st["o_score"], st["o_len"], st["o_node"],
+         st["o_m1"], st["o_snp"]], axis=0)
+    xa_o[:] = jnp.concatenate([st["x_L"], st["x_U"]], axis=0)
+    cnd_o[:] = jnp.concatenate(
+        candL + candU + candM1 + candM2
+        + [node, jnp.zeros((128 - 4 * S.NSLOT - 1, B0), jnp.int32)], axis=0)
+    nxt_o[:] = jnp.concatenate(
+        [node_next, kxL, kxU,
+         jnp.zeros((16 - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
+
+
+# --------------------------------------------------------------------------
+# glue: the while_loop around the kernel
+# --------------------------------------------------------------------------
+
+def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
+    """Pallas-backed replacement for the XLA while_loop of _search (fixed
+    mode, int32, multiref, NROOT == 1).  Takes and returns the state dict
+    engine/inexact.py builds, so init and output assembly are shared."""
+    S = _Static(params, cfg, B, Lmax, NROOT)
+    assert NROOT == 1
+
+    B0 = B
+    for cand in (256, 128):
+        if B % cand == 0:
+            B0 = min(B, cand)
+            break
+    grid = (B // B0,)
+
+    rc = state["rc"]
+    lengths_v = state["len"]
+    D, Ds = state["D"], state["Ds"]
+    rtN = state["rtN"]
+    TDm1 = D.shape[1] - 1
+    TSm1 = Ds.shape[1] - 1
+    lane_iota = jnp.arange(B, dtype=jnp.int32)
+    length32 = didx.length.astype(jnp.int32)
+    len_m1 = length32 - 1
+    carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
+                             jnp.zeros((7,), jnp.int32)]).reshape(1, 24)
+
+    def pick(arr, idx):
+        cols = jnp.arange(arr.shape[1], dtype=jnp.int32)[None, :]
+        return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1,
+                       dtype=arr.dtype)
+
+    bspec = lambda w: pl.BlockSpec((w, B0), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # scal
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # carr
+        bspec(S.RQ * S.W), bspec(4), bspec(16),
+        bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP), bspec(2 * S.KX),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((S.NB, B), jnp.int32),            # head
+        jax.ShapeDtypeStruct((NSV, B), jnp.int32),             # sv
+        jax.ShapeDtypeStruct((7 * S.ACAP, B), jnp.int32),      # oa
+        jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),        # xa
+        jax.ShapeDtypeStruct((128, B), jnp.int32),             # cnd
+        jax.ShapeDtypeStruct((16, B), jnp.int32),              # nxt
+    ]
+    out_specs = [bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP),
+                 bspec(2 * S.KX), bspec(128), bspec(16)]
+    kern = functools.partial(_kernel_body, S)
+
+    def step(carry):
+        aN = carry["aN"]
+        nxt = carry["nxt"]
+        node = nxt[0]
+
+        # arena pop-row gather + node unpack (roots from rtN)
+        nn = jnp.maximum(node - S.NROOT, 0)
+        f = nn // S.NSLOT
+        s_ = nn - f * S.NSLOT
+        flat = aN.reshape((S.NFRAME + 1) * B, S.ROWW)
+        rowv = jnp.take(flat, f * B + lane_iota, axis=0)       # [B, ROWW]
+        slots = rowv[:, :S.NSLOT * 4].reshape(B, S.NSLOT, 4)
+        sl1h = jnp.arange(S.NSLOT, dtype=jnp.int32)[None, :] == s_[:, None]
+        aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1,
+                     dtype=jnp.int32)                          # [B, 4]
+        node4 = jnp.where((node < S.NROOT)[:, None], rtN[:, 0], aV)
+        eL, eU, m1 = node4[:, 0], node4[:, 1], node4[:, 2]
+
+        # rank-table row gather in stream order, transposed lane-major
+        blk_of = lambda i: (jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
+                            // BLK).astype(jnp.int32)
+        kAll = jnp.concatenate(
+            [blk_of(eL - 1)[None], blk_of(eU)[None],
+             nxt[1:1 + 2 * S.KX]], axis=0)                     # [RQ, B]
+        rows = jnp.take(didx.table, kAll.reshape(-1), axis=0)
+        rows_T = rows.reshape(S.RQ, B, S.W).transpose(0, 2, 1) \
+                     .reshape(S.RQ * S.W, B)
+
+        # per-lane picks: read char (DFS + exact) and D/D_seed bounds
+        ei = m1 & 0xFF
+        c_dfs = jnp.clip(pick(rc, jnp.clip(ei - 1, 0, Lmax - 1)),
+                         0, 4).astype(jnp.int32)
+        xj = carry["sv"][_SV_XJ]
+        c_x = jnp.where(xj >= 0,
+                        pick(rc, jnp.clip(xj, 0, Lmax - 1)),
+                        4).astype(jnp.int32)
+        dnd = lambda a, i, T: pick(a[:, :, 0], jnp.clip(i, 0, T))
+        dw = lambda a, i, T: pick(a[:, :, 1], jnp.clip(i, 0, T))
+        seed_index = ei - (lengths_v - S.p_seedlen)
+        cdp = jnp.stack(
+            [c_dfs, c_x,
+             dnd(D, ei - 1, TDm1), dnd(D, ei - 2, TDm1),
+             dw(D, ei - 1, TDm1), dw(D, ei - 2, TDm1),
+             dnd(Ds, seed_index - 1, TSm1), dnd(Ds, seed_index - 2, TSm1),
+             dw(Ds, seed_index - 1, TSm1), dw(Ds, seed_index - 2, TSm1),
+             seed_index, lengths_v,
+             jnp.zeros_like(ei), jnp.zeros_like(ei),
+             jnp.zeros_like(ei), jnp.zeros_like(ei)], axis=0)  # [16, B]
+
+        scal = jnp.stack([carry["fcnt"], length32,
+                          didx.sa0.astype(jnp.int32),
+                          jnp.int32(0)]).reshape(1, 4)
+
+        head_n, sv_n, oa_n, xa_n, cnd, nxt_n = pl.pallas_call(
+            kern, grid=grid, out_shape=out_shapes,
+            in_specs=in_specs, out_specs=out_specs,
+            interpret=INTERPRET,
+        )(scal, carrv, rows_T, node4.T, cdp, carry["head"], carry["sv"],
+          carry["oa"], carry["xa"])
+
+        # frame write: interleave [4*NSLOT] node words + parent id
+        candN = jnp.stack(
+            [cnd[0:S.NSLOT], cnd[S.NSLOT:2 * S.NSLOT],
+             cnd[2 * S.NSLOT:3 * S.NSLOT], cnd[3 * S.NSLOT:4 * S.NSLOT]],
+            axis=1).reshape(4 * S.NSLOT, B)
+        frow = jnp.concatenate(
+            [candN, cnd[4 * S.NSLOT:4 * S.NSLOT + 1],
+             jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
+            axis=0).T                                          # [B, ROWW]
+        any_pop = jnp.any(sv_n[_SV_POPPED] > 0)
+        aN = jax.lax.dynamic_update_slice(
+            aN, frow[None], (jnp.minimum(carry["fcnt"], S.NFRAME),
+                             jnp.int32(0), jnp.int32(0)))
+        return dict(aN=aN, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n,
+                    nxt=nxt_n, fcnt=carry["fcnt"] + any_pop.astype(jnp.int32),
+                    iters=carry["iters"] + 1)
+
+    # ---- pack the dict state into the lane-major carry
+    sv0 = jnp.stack(
+        [state["mode"], state["best_score"], state["max_diff"],
+         state["num_best"], state["n_alns"],
+         state["overflow"].astype(jnp.int32), state["n_open"],
+         state["n_pushed"], state["x_cnt"], state["x_j"], state["x_node"],
+         state["x_m1"], state["x_m2"], jnp.zeros((B,), jnp.int32),
+         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)], axis=0)
+    oa0 = jnp.concatenate(
+        [state["o_L"].T, state["o_U"].T, state["o_score"].T,
+         state["o_len"].T, state["o_node"].T, state["o_m1"].T,
+         state["o_snp"].T], axis=0)
+    xa0 = jnp.concatenate([state["x_L"].T, state["x_U"].T], axis=0)
+    head0 = state["head"].T                                    # [NB, B]
+    row_b = jnp.arange(S.NB, dtype=jnp.int32)[:, None]
+    b0 = jnp.min(jnp.where(head0 >= 0, row_b, S.NB), axis=0)
+    node0 = jnp.sum(jnp.where(row_b == b0[None, :], head0, 0), axis=0,
+                    dtype=jnp.int32)
+    nxt0 = jnp.zeros((16, B), jnp.int32).at[0].set(node0)
+
+    carry = dict(aN=state["aN"], head=head0, sv=sv0, oa=oa0, xa=xa0,
+                 nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"])
+
+    def cond(cr):
+        return jnp.any(cr["sv"][_SV_MODE] != MODE_DONE) \
+            & (cr["iters"] < cfg.max_iters)
+
+    carry = jax.lax.while_loop(cond, step, carry)
+
+    # ---- unpack back into the dict layout _search's assembly expects
+    out = dict(state)
+    sv = carry["sv"]
+    oa = carry["oa"]
+    out.update(
+        aN=carry["aN"], head=carry["head"].T,
+        mode=sv[_SV_MODE], best_score=sv[_SV_BEST],
+        max_diff=sv[_SV_MAXD], num_best=sv[_SV_NBEST],
+        n_alns=sv[_SV_NALN], overflow=sv[_SV_OVER] != 0,
+        n_open=sv[_SV_NOPEN], n_pushed=sv[_SV_NPUSH],
+        x_cnt=sv[_SV_XCNT], x_j=sv[_SV_XJ], x_node=sv[_SV_XNODE],
+        x_m1=sv[_SV_XM1], x_m2=sv[_SV_XM2],
+        o_L=oa[0 * S.ACAP:1 * S.ACAP].T, o_U=oa[1 * S.ACAP:2 * S.ACAP].T,
+        o_score=oa[2 * S.ACAP:3 * S.ACAP].T,
+        o_len=oa[3 * S.ACAP:4 * S.ACAP].T,
+        o_node=oa[4 * S.ACAP:5 * S.ACAP].T,
+        o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
+        o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
+        x_L=carry["xa"][:S.KX].T, x_U=carry["xa"][S.KX:].T,
+        iters=carry["iters"], fcnt=carry["fcnt"],
+    )
+    return out
