@@ -211,7 +211,8 @@ def main():
         f"iters={stats.get('iters', 0)} "
         f"t_dbounds={stats.get('t_dbounds', 0):.2f}s "
         f"t_search={stats.get('t_search', 0):.2f}s "
-        f"t_host={stats.get('t_host', 0):.2f}s\n")
+        f"t_host={stats.get('t_host', 0):.2f}s "
+        f"tiers={stats.get('tiers', [])}\n")
     print(json.dumps({
         "metric": ("inexact_align_throughput_easy" if easy else
                    "chr21_multigenome_hard_align_throughput" if hard else

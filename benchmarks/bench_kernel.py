@@ -42,12 +42,13 @@ def main():
     didx = from_fmindex(idx)
     params = AlnParams(max_diff=4, batch_size=B)
 
-    # two DISTINCT input batches: the axon stack dedups identical repeated
+    # DISTINCT input batches: the axon stack dedups identical repeated
     # calls (reports ~0 ms), so warm timing must use fresh inputs
+    NBATCH = 4
     Lmax = reads.max_len
     batches = []
     t0 = time.time()
-    for part in range(2):
+    for part in range(NBATCH):
         rc = np.zeros((B, Lmax), dtype=np.int8)
         rc[:] = reads.rc[part * B:(part + 1) * B]
         lengths = reads.lengths[part * B:(part + 1) * B].astype(np.int32)
@@ -67,17 +68,21 @@ def main():
         res = inexact_search(didx, rc0, ln0, D0, Ds0, params, cfg)
         jax.block_until_ready(res["n_alns"])
         t_compile = time.time() - t0
-        rc1, ln1, D1, Ds1 = batches[1]
-        t0 = time.time()
-        res = inexact_search(didx, rc1, ln1, D1, Ds1, params, cfg)
-        jax.block_until_ready(res["n_alns"])
-        dt = time.time() - t0
-        iters = int(np.asarray(res["iters"]))
+        per = []
+        for rc1, ln1, D1, Ds1 in batches[1:]:
+            t0 = time.time()
+            res = inexact_search(didx, rc1, ln1, D1, Ds1, params, cfg)
+            jax.block_until_ready(res["n_alns"])
+            dt = time.time() - t0
+            iters = int(np.asarray(res["iters"]))
+            per.append(dt / max(iters, 1))
         n_al = int(np.sum(np.asarray(res["n_alns"]) > 0))
         n_ov = int(np.sum(np.asarray(res["overflow"])))
-        print(f"{backend:7s} compile+run={t_compile:7.1f}s warm={dt:7.3f}s "
-              f"iters={iters} -> {dt / max(iters, 1) * 1e6:8.1f} us/iter "
-              f"{dt / max(iters, 1) / B * 1e9:7.1f} ns/lane-iter "
+        med = sorted(per)[len(per) // 2]
+        print(f"{backend:7s} compile+run={t_compile:7.1f}s "
+              f"per-iter=[{', '.join(f'{p * 1e6:.1f}' for p in per)}] us "
+              f"median {med * 1e6:.1f} us/iter "
+              f"{med / B * 1e9:.1f} ns/lane-iter "
               f"(aligned={n_al} overflow={n_ov})")
 
 

@@ -124,6 +124,9 @@ class _Static:
         # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
         self.RQ = 2 + 2 * self.KX
         self.W = 32          # fused table row width (int32 words)
+        # nxt feed-forward rows: node_next + 2*KX exact rank-row ids,
+        # padded to a multiple of 8 sublanes
+        self.NXW = ((1 + 2 * self.KX + 7) // 8) * 8
 
     def score_of(self, mm, go, ge):
         return mm * self.p_mm + go * self.p_go + ge * self.p_ge
@@ -133,59 +136,57 @@ class _Static:
 # kernel internals (all arrays lane-major: trailing dim = lanes)
 # --------------------------------------------------------------------------
 
-def _rank16(S: _Static, i, rq, inc, dfs, LEN, carr):
-    """Occurrence bounds for all 16 codes at positions i for one query
-    stream (engine/rank.py:_rank_all; bwt.c:602-734 semantics incl. the
-    quirk-Q1 skipped-code path when dfs=True).
+def _j16():
+    """[16, 1] code-index slab (Pallas kernels cannot capture array
+    constants, so the per-code masks derive from an iota)."""
+    return _iota((16, 1), 0)
 
-    i: (1, B0) positions; rq(c): column c of the gathered rows as (1, B0)
-    (16 plane words + 16 checkpoint counts); inc: 0/1 static; carr:
-    17 scalars.  Returns 16 (1, B0) vectors.
+
+def _rank16(S: _Static, i, rows, q, inc, dfs, LEN, carr16, carr17):
+    """Occurrence bounds for ALL 16 codes at positions i for one query
+    stream, as one [16, B0] slab (engine/rank.py:_rank_all; bwt.c:602-734
+    semantics incl. the quirk-Q1 skipped-code path when dfs=True).
+
+    The 16-code XNOR-AND trees are evaluated on [16, B0] tiles against
+    [16, 1] code-bit constants — ~4x fewer vector ops than per-code rows.
+
+    i: (1, B0) positions; rows: the gathered row ref ([RQ*32, B0]); q:
+    static stream index; inc: 0/1 static; carr16/carr17: [16, 1] C-array
+    slabs (C[0..15] and C[1..16]).
     """
     len_m1 = LEN - 1
     i_c = jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
     k = i_c // BLK
     off = i_c - k * BLK
-    masks = []
+    pw = lambda c: rows[q * S.W + c:q * S.W + c + 1, :]        # (1, B0)
+    ck16 = rows[q * S.W + 16:q * S.W + 32, :]                  # [16, B0]
+    j16 = _j16()
+    cnt = None
     for w in range(4):
         nbits = off + 1 - 32 * w
         partial = (jnp.int32(1) << jnp.clip(nbits, 0, 31)) - 1
-        masks.append(jnp.where(nbits >= 32, jnp.int32(-1),
-                               jnp.where(nbits <= 0, jnp.int32(0), partial)))
-    pw = [rq(c) for c in range(16)]
-    ck = [rq(16 + c) for c in range(16)]
-    first = ((pw[0] & 1) | ((pw[4] & 1) << 1) | ((pw[8] & 1) << 2)
-             | ((pw[12] & 1) << 3))
-    is_high = i == len_m1
-    is_low = i < 0
-    out = []
-    for j in range(16):
-        if j == 0:
-            out.append(jnp.zeros_like(i))
-            continue
-        skip = dfs and (j in _SKIP)
-        if skip:
-            cnt = None
-        else:
-            cnt = None
-            for w in range(4):
-                m = None
-                for t in range(4):
-                    word = pw[4 * t + w]
-                    sel = word if ((j >> t) & 1) else ~word
-                    m = sel if m is None else (m & sel)
-                pc = jax.lax.population_count(m & masks[w])
-                cnt = pc if cnt is None else (cnt + pc)
-        fd = (first == j).astype(jnp.int32)
-        Cj = carr[j]
-        if cnt is None:
-            normal = Cj + inc - fd
-        else:
-            normal = Cj + ck[j] + cnt + inc - fd
-        low = Cj + inc
-        high = carr[j + 1] + inc
-        out.append(jnp.where(is_high, high, jnp.where(is_low, low, normal)))
-    return out
+        mask = jnp.where(nbits >= 32, jnp.int32(-1),
+                         jnp.where(nbits <= 0, jnp.int32(0), partial))
+        m = None
+        for t in range(4):
+            word = pw(4 * t + w)                               # (1, B0)
+            sel = jnp.where(((j16 >> t) & 1) == 1, word, ~word)
+            m = sel if m is None else (m & sel)                # [16, B0]
+        pc = jax.lax.population_count(m & mask)
+        cnt = pc if cnt is None else (cnt + pc)
+    first = ((pw(0) & 1) | ((pw(4) & 1) << 1) | ((pw(8) & 1) << 2)
+             | ((pw(12) & 1) << 3))
+    fd = (j16 == first).astype(jnp.int32)                      # [16, B0]
+    normal = carr16 + ck16 + cnt + inc - fd
+    if dfs:
+        skip16 = jnp.zeros_like(j16)
+        for v in sorted(_SKIP):
+            skip16 = skip16 | (j16 == v).astype(jnp.int32)
+        normal = jnp.where(skip16 == 1, carr16 + inc - fd, normal)
+    low = carr16 + jnp.full_like(fd, inc)
+    high = carr17 + jnp.full_like(fd, inc)
+    out = jnp.where(i == len_m1, high, jnp.where(i < 0, low, normal))
+    return jnp.where(j16 == 0, 0, out)
 
 
 def _pick_rows(arr, idx, T):
@@ -284,8 +285,9 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
     B0 = head_ref.shape[1]
     fcnt = scal_ref[0, 0]
     LEN = scal_ref[0, 1]
-    carr = [carr_ref[0, j] for j in range(17)]
-    rq_of = lambda q: (lambda c: rows_ref[q * S.W + c:q * S.W + c + 1, :])
+    carr16 = carr_ref[0:16, :]                  # [16, 1]: C[0..15]
+    carr17 = carr_ref[1:17, :]                  # [16, 1]: C[1..16]
+    rows = rows_ref[:]
 
     eL = node4_ref[0:1, :]
     eU = node4_ref[1:2, :]
@@ -320,19 +322,27 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
     for k in range(S.KX):
         xL = st["x_L"][k:k + 1, :]
         xU = st["x_U"][k:k + 1, :]
-        occL = _rank16(S, xL - 1, rq_of(2 + k), 1, False, LEN, carr)
-        occU = _rank16(S, xU, rq_of(2 + S.KX + k), 0, False, LEN, carr)
+        occL = _rank16(S, xL - 1, rows, 2 + k, 1, False, LEN,
+                       carr16, carr17)
+        occU = _rank16(S, xU, rows, 2 + S.KX + k, 0, False, LEN,
+                       carr16, carr17)
         k_live = k < st["x_cnt"]
-        for s in range(_NB_PER):
-            cl = jnp.zeros_like(xL)
-            cu = jnp.zeros_like(xL)
-            for base in range(4):
-                sym = int(_NUCL[base, s])
-                cl = jnp.where(c == base, occL[sym], cl)
-                cu = jnp.where(c == base, occU[sym], cu)
-            candL_l.append(cl)
-            candU_l.append(cu)
-            valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
+        # the 7 candidate symbols per base as [7, B0] slabs, then a
+        # 4-way select on the per-lane read base
+        Lb, Ub = [], []
+        for base in range(4):
+            syms = [int(x) for x in _NUCL[base]]
+            Lb.append(jnp.concatenate(
+                [occL[x:x + 1, :] for x in syms], axis=0))
+            Ub.append(jnp.concatenate(
+                [occU[x:x + 1, :] for x in syms], axis=0))
+        cl = jnp.where(c == 0, Lb[0], jnp.where(c == 1, Lb[1],
+                       jnp.where(c == 2, Lb[2], Lb[3])))       # [7, B0]
+        cu = jnp.where(c == 0, Ub[0], jnp.where(c == 1, Ub[1],
+                       jnp.where(c == 2, Ub[2], Ub[3])))
+        candL_l.append(cl)
+        candU_l.append(cu)
+        valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
     candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
     candUx = jnp.concatenate(candU_l, axis=0)
     validx = jnp.concatenate(valid_l, axis=0) != 0
@@ -410,8 +420,8 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
     live = live & ~to_exact
 
     # expansion ranks (rank_all_dfs_pair on the pre-gathered row pair)
-    Lv = _rank16(S, eL - 1, rq_of(0), 1, True, LEN, carr)
-    Uv = _rank16(S, eU, rq_of(1), 0, True, LEN, carr)
+    Lv = _rank16(S, eL - 1, rows, 0, 1, True, LEN, carr16, carr17)
+    Uv = _rank16(S, eU, rows, 1, 0, True, LEN, carr16, carr17)
 
     D1n, D2n = cd(_CD_D1N), cd(_CD_D2N)
     D1w, D2w = cd(_CD_D1W), cd(_CD_D2W)
@@ -463,7 +473,7 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
     candSc[0] = S.score_of(emm, go0, ge0)
 
     for t, jj in enumerate(S.chars):
-        Lj, Uj = Lv[jj], Uv[jj]
+        Lj, Uj = Lv[jj:jj + 1, :], Uv[jj:jj + 1, :]
         nonempty = Lj <= Uj
         del_ok = (ind_ok & ~is_I & nonempty
                   & ((is_M & allow_open) | (~is_M & allow_extend)))
@@ -545,7 +555,7 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
         + [node, jnp.zeros((128 - 4 * S.NSLOT - 1, B0), jnp.int32)], axis=0)
     nxt_o[:] = jnp.concatenate(
         [node_next, kxL, kxU,
-         jnp.zeros((16 - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
+         jnp.zeros((S.NXW - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -576,7 +586,7 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
     length32 = didx.length.astype(jnp.int32)
     len_m1 = length32 - 1
     carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
-                             jnp.zeros((7,), jnp.int32)]).reshape(1, 24)
+                             jnp.zeros((15,), jnp.int32)]).reshape(32, 1)
 
     def pick(arr, idx):
         cols = jnp.arange(arr.shape[1], dtype=jnp.int32)[None, :]
@@ -587,7 +597,8 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
                                    memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # scal
-        pl.BlockSpec(memory_space=pltpu.SMEM),                 # carr
+        pl.BlockSpec((32, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),                 # carr slab
         bspec(S.RQ * S.W), bspec(4), bspec(16),
         bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP), bspec(2 * S.KX),
     ]
@@ -597,10 +608,10 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
         jax.ShapeDtypeStruct((7 * S.ACAP, B), jnp.int32),      # oa
         jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),        # xa
         jax.ShapeDtypeStruct((128, B), jnp.int32),             # cnd
-        jax.ShapeDtypeStruct((16, B), jnp.int32),              # nxt
+        jax.ShapeDtypeStruct((S.NXW, B), jnp.int32),           # nxt
     ]
     out_specs = [bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP),
-                 bspec(2 * S.KX), bspec(128), bspec(16)]
+                 bspec(2 * S.KX), bspec(128), bspec(S.NXW)]
     kern = functools.partial(_kernel_body, S)
 
     def step(carry):
@@ -698,7 +709,7 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
     b0 = jnp.min(jnp.where(head0 >= 0, row_b, S.NB), axis=0)
     node0 = jnp.sum(jnp.where(row_b == b0[None, :], head0, 0), axis=0,
                     dtype=jnp.int32)
-    nxt0 = jnp.zeros((16, B), jnp.int32).at[0].set(node0)
+    nxt0 = jnp.zeros((S.NXW, B), jnp.int32).at[0].set(node0)
 
     carry = dict(aN=state["aN"], head=head0, sv=sv0, oa=oa0, xa=xa0,
                  nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"])

@@ -364,9 +364,12 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # one forward D pass for every read: search bounds, difficulty
     # ordering, and K-escalation flags (VERDICT r1: calc_d at K=16 per
     # batch was the single biggest gather volume in the pipeline)
+    import time as _time0
+    _t_d = _time0.time()
     D_all, Ds_all, dov_all = calc_d_all(
         didx, reads, params, batch=min(B, _pow2_at_least(reads.count)),
         d_cap=d_cap, mesh=mesh, host_idx=idx)
+    counters["t_dbounds"] = round(_time0.time() - _t_d, 2)
     order = np.flatnonzero(~dov_all).astype(np.int64)
     if sort_reads and reads.count > B and order.size:
         z = difficulty_scores(didx, reads, params, D_all=D_all)
@@ -384,19 +387,32 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         tiers.append((B, dataclasses.replace(cfg, cap=int(first_cap))))
     tiers.append((B, cfg))
     # Deep narrow-lane tiers raise the per-read frame budget at constant
-    # arena memory, but each launch burns up to NFRAME iterations at
-    # >=0.5 us/lane-iteration — measured SLOWER on the heavy tail than
-    # the native gold engine's ~1 us/pop.  So with the native library
-    # present, hard reads go straight to gold; the tiers remain for
-    # environments without it (they still beat Python gold by ~20x).
+    # arena memory.  Their worth depends on the loop-body backend:
+    # - Pallas kernel (TPU): ~0.14 us/lane-iteration at B=256 — an order
+    #   of magnitude below the native gold engine's ~0.9 us/pop, so the
+    #   ladder beats gold on the heavy tail and stays ON (lane counts are
+    #   multiples of 128, the kernel's block size).
+    # - XLA body: >=0.5 us/lane-iteration — measured SLOWER on the heavy
+    #   tail than native gold, so with the native library present hard
+    #   reads go straight to gold; the tiers remain for environments
+    #   without it (they still beat Python gold by ~20x).
+    import jax as _jax
+    pallas_on = (cfg.backend != "xla" and params.is_multiref
+                 and mesh is None and precalc is None
+                 and str(didx.idt) != "int64"
+                 and _jax.default_backend() == "tpu")
     if deep_tiers is None:
-        from bwbble_tpu.native import get_native
-        _nat = get_native()
-        deep_tiers = not (params.is_multiref and _nat is not None
-                          and getattr(_nat, "_has_gold", False))
+        if pallas_on:
+            deep_tiers = True
+        else:
+            from bwbble_tpu.native import get_native
+            _nat = get_native()
+            deep_tiers = not (params.is_multiref and _nat is not None
+                              and getattr(_nat, "_has_gold", False))
     cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
-    for deep_B, deep_kx in (((1024, 8), (256, 8), (64, 16)) if deep_tiers
-                            else ()):
+    ladder = ((1024, 8), (256, 8), (128, 16)) if pallas_on \
+        else ((1024, 8), (256, 8), (64, 16))
+    for deep_B, deep_kx in (ladder if deep_tiers else ()):
         if deep_B < B:
             deep_cap = min(cell // deep_B, 4 << 20)
             tiers.append((deep_B, dataclasses.replace(
