@@ -89,7 +89,7 @@ def cmd_align(argv: list[str]) -> int:
     from bwbble_tpu.formats.fastq import read_fastq
     from bwbble_tpu.index.fmindex import FMIndex
 
-    long_opts = ["engine=", "batch=", "arena=", "queued", "mesh="]
+    long_opts = ["engine=", "batch=", "arena=", "queued", "mesh=", "dist="]
     try:
         opts, args = getopt.gnu_getopt(argv, "M:O:E:n:k:o:e:l:m:t:SP",
                                        long_opts)
@@ -106,6 +106,7 @@ def cmd_align(argv: list[str]) -> int:
     arena = None
     queued = False
     mesh_spec = None
+    dist_spec = None
     for o, v in opts:
         if o == "-M":
             kw["mm_score"] = int(v)
@@ -141,6 +142,11 @@ def cmd_align(argv: list[str]) -> int:
             queued = True
         elif o == "--mesh":
             mesh_spec = v
+        elif o == "--dist":
+            # --dist HOST:PORT,NPROCS,RANK — multi-host data parallelism
+            # over reads (parallel/distributed.py); run one process per
+            # host with the same command line except RANK
+            dist_spec = v
     fasta, fastq, alnf = args[0], args[1], args[2]
     if batch is not None:
         kw["batch_size"] = batch
@@ -153,6 +159,16 @@ def cmd_align(argv: list[str]) -> int:
     t = time.time()
     reads = read_fastq(fastq)
     print(f"Total read loading time: {time.time() - t:.2f} sec")
+
+    dist_rank, dist_n = 0, 1
+    if dist_spec is not None:
+        from bwbble_tpu.parallel import distributed as DX
+        coord, n_s, r_s = dist_spec.rsplit(",", 2)
+        dist_n, dist_rank = int(n_s), int(r_s)
+        DX.init(coord, dist_n, dist_rank)
+        reads = DX.shard_reads(reads, dist_n, dist_rank)
+        print(f"dist: process {dist_rank}/{dist_n} aligning "
+              f"{reads.count} reads")
 
     precalc = None
     if params.use_precalc:
@@ -183,7 +199,15 @@ def cmd_align(argv: list[str]) -> int:
                                   cfg, precalc=precalc, queued=queued,
                                   mesh=mesh)
     print(f"Total read alignment time: {time.time() - t:.2f} sec")
-    write_aln_file(alnf, alns)
+    if dist_spec is not None:
+        from bwbble_tpu.formats.aln import encode_alns
+        from bwbble_tpu.parallel import distributed as DX
+        DX.write_part(alnf, dist_rank,
+                      b"".join(encode_alns(a) for a in alns))
+        if dist_rank == 0:
+            DX.merge_parts(alnf, dist_n)
+    else:
+        write_aln_file(alnf, alns)
     return 0
 
 
