@@ -165,6 +165,22 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     assert (CAP - NROOT) // NSLOT >= 2, \
         f"cfg.cap={CAP} too small: need >= {NROOT + 2 * NSLOT} rows"
     NFRAME = (CAP - NROOT) // NSLOT - 1
+    # Queue mode treats the arena as a RING over global iterations: frame f
+    # lives at slot f % NFRAME, node ids stay ABSOLUTE (monotonic), and each
+    # lane records the iteration its current read started (start_f).  A
+    # read's frame budget is then a full NFRAME iterations from ITS OWN
+    # start — not whatever happens to be left of a launch-global counter —
+    # so continuous batching composes with per-read capacity semantics.
+    # Safety: a lane is flagged overflow once its age reaches NFRAME (its
+    # oldest frame is about to be clobbered), and finished lanes are
+    # urgency-flushed well before that boundary (their parent chains are
+    # walked at flush time, see switch_step).
+    RING = QUEUED
+    if RING:
+        # prev links pack as (node+1) << 8 in meta2: node ids must fit 23
+        # bits, which bounds total iterations per launch
+        assert NROOT + (int(cfg.max_iters) + 2) * NSLOT < (1 << 23), \
+            "ring mode: cfg.max_iters too large for packed prev links"
     ROWW = 256 if X64 else 128         # frame-row width (NSLOT*NW+1 padded)
     assert NSLOT * NW + 1 <= ROWW
     NB = ((p_maxdiff + 1) * p_mm + (p_maxgapo + 1) * p_go
@@ -208,7 +224,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         nn = jnp.maximum(node - NROOT, 0)
         f = nn // NSLOT
         s = nn - f * NSLOT
-        flat = st_["aN"].reshape((NFRAME + 1) * B, ROWW)
+        if RING:
+            f = f % NFRAME
+        flat = st_["aN"].reshape(NAREN * B, ROWW)
         rowv = jnp.take(flat, f * B + lane_iota, axis=0)      # [B, ROWW]
         slots = rowv[:, :NSLOT * NW].reshape(B, NSLOT, NW)
         sl1h = jnp.arange(NSLOT, dtype=jnp.int32)[None, :] == s[:, None]
@@ -279,8 +297,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     # then one row gather on the [F*B, 128] view; a frame write is one
     # contiguous [1, B, 128] update slice.  (Per-lane element gathers cost
     # ~16 ns/element vs ~0.3 ns/row for row gathers — the round-1 layout
-    # spent half the loop popping nodes.)
-    aN = jnp.zeros((NFRAME + 1, B, ROWW), jnp.int32)
+    # spent half the loop popping nodes.)  Ring mode needs no trash row
+    # (writes always land in range).
+    NAREN = NFRAME if RING else NFRAME + 1
+    aN = jnp.zeros((NAREN, B, ROWW), jnp.int32)
 
     state = dict(
         aN=aN, head=head0,
@@ -320,11 +340,16 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             counter=jnp.int32(min(B, NR)),
             # lanes beyond NR (duplicate initial reads) stay permanently idle
             flushed=jnp.arange(B) >= NR,
+            # ring clock: iteration the lane's current read started at
+            start_f=jnp.zeros((B,), jnp.int32),
             # packed per-read result slabs:
             #   q_alns[r] = [L, U, score, len, node, m1, snp] x ACAP
             #   q_meta[r] = [n_alns, overflow, lane]; n_alns -1 = incomplete
+            #   q_paths[r] = reverse-order state walks (filled at flush,
+            #   BEFORE the ring reuses the read's frame rows)
             q_alns=jnp.zeros((NR, 7, ACAP), jnp.int32),
             q_meta=jnp.zeros((NR, 3), jnp.int32).at[:, 0].set(-1),
+            q_paths=jnp.zeros((NR, ACAP, PATHCAP), jnp.int8),
         )
 
     if HAS_SEEDS and QUEUED:
@@ -467,6 +492,37 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["q_meta"] = st_["q_meta"].at[rid_f].set(fm, mode="drop")
         st_["flushed"] = st_["flushed"] | take
 
+        # walk the flushed alignments' parent chains NOW — the ring reuses
+        # these frame rows once the lane moves on (same states as
+        # walk_paths; garbage rows of overflowed lanes are never read back)
+        states_tbl = jnp.asarray(slot_states(NC))             # [NSLOT]
+        node_f = fv[:, 4].astype(jnp.int32)
+        flatA = st_["aN"].reshape(NAREN * B, ROWW)
+        sl_cols = jnp.arange(NSLOT, dtype=jnp.int32)[None, None, :]
+
+        def wstep(t, carry):
+            cur, paths = carry
+            nn = jnp.maximum(cur - NROOT, 0)
+            f = (nn // NSLOT) % NFRAME
+            rows = jnp.take(
+                flatA, (f * B + lane_f[:, None]).reshape(-1),
+                axis=0).reshape(FL, ACAP, ROWW)
+            par = jnp.where(cur >= NROOT, rows[:, :, NSLOT * NW], -1)
+            alive = (cur >= 0) & (par >= 0)
+            slot = jnp.where(cur >= NROOT, nn % NSLOT, 0)
+            stv = jnp.sum(jnp.where(sl_cols == slot[:, :, None],
+                                    states_tbl[None, None, :], 0),
+                          axis=2, dtype=jnp.int8)
+            stv = jnp.where(alive, stv, 0)
+            paths = jax.lax.dynamic_update_slice(
+                paths, stv[:, :, None], (0, 0, t))
+            return (jnp.where(alive, par, -1), paths)
+
+        _, paths_f = jax.lax.fori_loop(
+            0, PATHCAP, wstep,
+            (node_f, jnp.zeros((FL, ACAP, PATHCAP), jnp.int8)))
+        st_["q_paths"] = st_["q_paths"].at[rid_f].set(paths_f, mode="drop")
+
         # refill: flush slot f gets read counter + f (prefix of valid slots)
         new_rid = st_["counter"] + frow[0]                    # [FL]
         get_f = fvalid & (new_rid < NR)
@@ -513,6 +569,8 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["n_alns"] = jnp.where(got, 0, st_["n_alns"])
         st_["flushed"] = st_["flushed"] & ~got
         st_["counter"] = st_["counter"] + n_assign
+        # ring clock: the new read's frame budget starts NOW
+        st_["start_f"] = jnp.where(got, st_["fcnt"], st_["start_f"])
         return st_
 
     # --------------------------------------------------------- exact-scan step
@@ -730,13 +788,20 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
         # ---- frame write at lane-uniform offset (no scatter)
         any_pop = jnp.any(lanes)
-        base = NROOT + jnp.minimum(st_["fcnt"], NFRAME) * NSLOT
-        frame_over = st_["fcnt"] >= NFRAME
-        over_lane = (st_["overflow"] | path_over
-                     | (lanes & frame_over))
-        st_["overflow"] = over_lane
-        st_["mode"] = jnp.where(lanes & frame_over, MODE_DONE, st_["mode"])
-        valid = valid & ~frame_over
+        if RING:
+            # absolute node ids; the ring-age check in body() replaces the
+            # launch-global frame_over
+            base = NROOT + st_["fcnt"] * NSLOT
+            st_["overflow"] = st_["overflow"] | path_over
+        else:
+            base = NROOT + jnp.minimum(st_["fcnt"], NFRAME) * NSLOT
+            frame_over = st_["fcnt"] >= NFRAME
+            over_lane = (st_["overflow"] | path_over
+                         | (lanes & frame_over))
+            st_["overflow"] = over_lane
+            st_["mode"] = jnp.where(lanes & frame_over, MODE_DONE,
+                                    st_["mode"])
+            valid = valid & ~frame_over
 
         # link candidates into bucket stacks, vectorized over slots:
         # prev(s) = most recent prior valid slot in the same bucket, else the
@@ -766,9 +831,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         frow = jnp.concatenate(
             [candN, node[:, None],
              jnp.zeros((B, ROWW - 1 - NSLOT * NW), jnp.int32)], axis=1)
+        wslot = (st_["fcnt"] % NFRAME) if RING \
+            else jnp.minimum(st_["fcnt"], NFRAME)
         st_["aN"] = jax.lax.dynamic_update_slice(
-            st_["aN"], frow[None],
-            (jnp.minimum(st_["fcnt"], NFRAME), jnp.int32(0), jnp.int32(0)))
+            st_["aN"], frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
         st_["fcnt"] = st_["fcnt"] + any_pop.astype(jnp.int32)
         st_["n_pushed"] = st_["n_pushed"] + total
         st_["n_open"] = st_["n_open"] + total
@@ -786,15 +852,29 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
     def body(st_):
         if QUEUED:
+            # ring budget: a read whose age reaches NFRAME is about to lose
+            # its oldest frame row — flag it overflow (host fallback) before
+            # any stale row could be read
+            age = st_["fcnt"] - st_["start_f"]
+            ring_over = (st_["mode"] != MODE_DONE) & (age >= NFRAME)
+            st_ = dict(st_)
+            st_["overflow"] = st_["overflow"] | ring_over
+            st_["mode"] = jnp.where(ring_over, MODE_DONE, st_["mode"])
             fin = (st_["mode"] == MODE_DONE) & ~st_["flushed"]
             nfin = jnp.sum(fin, dtype=jnp.int32)
             # flush/refill is the loop's most expensive branch: amortize it
             # over >= GATE finished lanes mid-run, but drain promptly once
             # the queue is empty or no lane has live work.  Lane<->read
             # assignment changes with the gate; per-read results don't.
+            # Finished lanes nearing the ring boundary force a flush (their
+            # chains must be walked before their rows are reused); the
+            # B//FL slack covers the worst case of every lane finishing at
+            # once with flushes capped at FL lanes per iteration.
             drain = ((st_["counter"] >= NR)
                      | ~jnp.any(st_["mode"] != MODE_DONE))
-            do_sw = (nfin >= min(FL, 16)) | ((nfin > 0) & drain)
+            urg = max(2, NFRAME - (B // FL) - 2)
+            urgent = jnp.any(fin & (age >= urg))
+            do_sw = (nfin >= min(FL, 16)) | ((nfin > 0) & drain) | urgent
             st_ = jax.lax.cond(do_sw, switch_step, lambda s: dict(s), st_)
         any_exact = jnp.any(st_["mode"] == MODE_EXACT)
 
@@ -812,7 +892,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["iters"] = st_["iters"] + 1
         return st_
 
-    pallas_ok = (not QUEUED and not X64 and multiref and not HAS_SEEDS
+    pallas_ok = (not X64 and multiref and not HAS_SEEDS
                  and cfg.xsteps == 1 and didx.tp_axis is None
                  and B % 128 == 0)
     use_pallas = (cfg.backend == "pallas"
@@ -821,10 +901,13 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     if use_pallas:
         if not pallas_ok:
             raise NotImplementedError(
-                "backend='pallas' covers fixed-batch int32 multiref "
-                "searches without seeds (B a multiple of 128)")
+                "backend='pallas' covers int32 multiref searches without "
+                "seeds (B a multiple of 128)")
         from bwbble_tpu.engine import kernel as _pk
-        st = _pk.run_loop(didx, state, params, cfg, B, Lmax, NROOT)
+        qctx = dict(switch_step=switch_step, NR=NR, FL=FL) if QUEUED \
+            else None
+        st = _pk.run_loop(didx, state, params, cfg, B, Lmax, NROOT,
+                          queued_ctx=qctx)
     else:
         st = jax.lax.while_loop(cond, body, state)
     timeout = st["mode"] != MODE_DONE
@@ -845,7 +928,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             overflow=(qm[:, 1] > 0) | (qm[:, 0] < 0),
             iters=st["iters"],
             n_pushed=st["n_pushed"],
-            arena=st["aN"],
+            # reverse-order state walks, filled at flush time (the ring
+            # arena reuses frame rows, so no post-loop walk is possible)
+            paths=st["q_paths"],
         )
 
     m1o = st["o_m1"]

@@ -121,6 +121,9 @@ class _Static:
                    + (self.p_maxgapo + 1) * self.p_go
                    + (self.p_maxgape + 1) * self.p_ge)
         self.worst = self.NB
+        # queue mode: ring arena (absolute node ids, slot = fcnt % NFRAME;
+        # per-lane age overflow replaces the launch-global frame_over)
+        self.RING = False
         # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
         self.RQ = 2 + 2 * self.KX
         self.W = 32          # fused table row width (int32 words)
@@ -506,12 +509,18 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
         candM1[s] = _pack1(ei - 1, mmn, ego, ege, C.STATE_M, nplen)
         candSc[s] = S.score_of(mmn, ego, ege)
 
-    # frame bookkeeping (trash-frame overflow semantics)
-    base = S.NROOT + jnp.minimum(fcnt, S.NFRAME) * S.NSLOT
-    frame_over = fcnt >= S.NFRAME
-    st["overflow"] = st["overflow"] | path_over | (lanes & frame_over)
-    st["mode"] = jnp.where(lanes & frame_over, jnp.int32(MODE_DONE),
-                           st["mode"])
+    # frame bookkeeping (ring: absolute ids, per-lane age overflow handled
+    # in glue; fixed: trash-frame overflow semantics)
+    if S.RING:
+        base = S.NROOT + fcnt * S.NSLOT
+        frame_over = fcnt < 0                     # never
+        st["overflow"] = st["overflow"] | path_over
+    else:
+        base = S.NROOT + jnp.minimum(fcnt, S.NFRAME) * S.NSLOT
+        frame_over = fcnt >= S.NFRAME
+        st["overflow"] = st["overflow"] | path_over | (lanes & frame_over)
+        st["mode"] = jnp.where(lanes & frame_over, jnp.int32(MODE_DONE),
+                               st["mode"])
 
     # score-bucket linking: sequential LIFO push of slots 0..NSLOT-1
     # expressed as per-slot head-plane selects (the running head IS the
@@ -562,12 +571,25 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
 # glue: the while_loop around the kernel
 # --------------------------------------------------------------------------
 
-def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
-    """Pallas-backed replacement for the XLA while_loop of _search (fixed
-    mode, int32, multiref, NROOT == 1).  Takes and returns the state dict
-    engine/inexact.py builds, so init and output assembly are shared."""
+def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
+    """Pallas-backed replacement for the XLA while_loop of _search (int32,
+    multiref, NROOT == 1).  Takes and returns the state dict
+    engine/inexact.py builds, so init and output assembly are shared.
+
+    queued_ctx (continuous batching): dict(switch_step=<the XLA flush/
+    refill closure>, NR=..., FL=...).  The kernel runs every iteration;
+    the switch fires in a rarely-taken lax.cond whose branch converts the
+    lane-major carry to the dict layout, reuses the parity-tested XLA
+    switch_step (flush + ring path walk + refill), and converts back —
+    conversion cost is ~20 small transposes amortized over the ~B/FL
+    iterations between flushes."""
     S = _Static(params, cfg, B, Lmax, NROOT)
     assert NROOT == 1
+    QU = queued_ctx is not None
+    S.RING = QU
+    NAREN = state["aN"].shape[0]
+    qkeys = ("rc", "len", "D", "Ds", "rtN", "cur", "counter", "flushed",
+             "start_f", "q_alns", "q_meta", "q_paths")
 
     B0 = B
     for cand in (256, 128):
@@ -614,22 +636,102 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
                  bspec(2 * S.KX), bspec(128), bspec(S.NXW)]
     kern = functools.partial(_kernel_body, S)
 
+    def carry_to_dict(cr):
+        """Lane-major carry -> the dict layout switch_step expects."""
+        sv, oa = cr["sv"], cr["oa"]
+        d = dict(
+            aN=cr["aN"], head=cr["head"].T,
+            mode=sv[_SV_MODE], best_score=sv[_SV_BEST],
+            max_diff=sv[_SV_MAXD], num_best=sv[_SV_NBEST],
+            n_alns=sv[_SV_NALN], overflow=sv[_SV_OVER] != 0,
+            n_open=sv[_SV_NOPEN], n_pushed=sv[_SV_NPUSH],
+            x_cnt=sv[_SV_XCNT], x_j=sv[_SV_XJ], x_node=sv[_SV_XNODE],
+            x_m1=sv[_SV_XM1], x_m2=sv[_SV_XM2],
+            o_L=oa[0 * S.ACAP:1 * S.ACAP].T,
+            o_U=oa[1 * S.ACAP:2 * S.ACAP].T,
+            o_score=oa[2 * S.ACAP:3 * S.ACAP].T,
+            o_len=oa[3 * S.ACAP:4 * S.ACAP].T,
+            o_node=oa[4 * S.ACAP:5 * S.ACAP].T,
+            o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
+            o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
+            x_L=cr["xa"][:S.KX].T, x_U=cr["xa"][S.KX:].T,
+            fcnt=cr["fcnt"], iters=cr["iters"])
+        d.update({k: cr[k] for k in qkeys})
+        return d
+
+    def dict_to_carry(d, cr):
+        """Repack switch_step's dict back into the carry; recompute the
+        pop-node feed-forward (refilled lanes have fresh heads)."""
+        zb = jnp.zeros((B,), jnp.int32)
+        sv = jnp.stack(
+            [d["mode"], d["best_score"], d["max_diff"], d["num_best"],
+             d["n_alns"], d["overflow"].astype(jnp.int32), d["n_open"],
+             d["n_pushed"], d["x_cnt"], d["x_j"], d["x_node"], d["x_m1"],
+             d["x_m2"], zb, zb, zb], axis=0)
+        oa = jnp.concatenate(
+            [d["o_L"].T, d["o_U"].T, d["o_score"].T, d["o_len"].T,
+             d["o_node"].T, d["o_m1"].T, d["o_snp"].T], axis=0)
+        xa = jnp.concatenate([d["x_L"].T, d["x_U"].T], axis=0)
+        headT = d["head"].T
+        rb = _iota((S.NB, B), 0)
+        b0 = jnp.min(jnp.where(headT >= 0, rb, S.NB), axis=0)
+        node0 = jnp.sum(jnp.where(rb == b0[None, :], headT, 0), axis=0,
+                        dtype=jnp.int32)
+        out = dict(cr, aN=d["aN"], head=headT, sv=sv, oa=oa, xa=xa,
+                   nxt=cr["nxt"].at[0].set(node0), fcnt=d["fcnt"])
+        out.update({k: d[k] for k in qkeys})
+        return out
+
+    if QU:
+        switch_fn = queued_ctx["switch_step"]
+        NR_q = int(queued_ctx["NR"])
+        FL_q = int(queued_ctx["FL"])
+
+        def switch_wrap(cr):
+            return dict_to_carry(switch_fn(carry_to_dict(cr)), cr)
+
     def step(carry):
+        if QU:
+            # ring-age overflow + flush/refill gating (mirrors the XLA
+            # body(); parity-tested there)
+            sv = carry["sv"]
+            age = carry["fcnt"] - carry["start_f"]
+            ring_over = (sv[_SV_MODE] != MODE_DONE) & (age >= S.NFRAME)
+            sv = sv.at[_SV_MODE].set(
+                jnp.where(ring_over, MODE_DONE, sv[_SV_MODE]))
+            sv = sv.at[_SV_OVER].set(
+                sv[_SV_OVER] | ring_over.astype(jnp.int32))
+            carry = dict(carry, sv=sv)
+            fin = (sv[_SV_MODE] == MODE_DONE) & ~carry["flushed"]
+            nfin = jnp.sum(fin, dtype=jnp.int32)
+            drain = ((carry["counter"] >= NR_q)
+                     | ~jnp.any(sv[_SV_MODE] != MODE_DONE))
+            urg = max(2, S.NFRAME - (B // FL_q) - 2)
+            urgent = jnp.any(fin & (age >= urg))
+            do_sw = (nfin >= min(FL_q, 16)) | ((nfin > 0) & drain) | urgent
+            carry = jax.lax.cond(do_sw, switch_wrap,
+                                 lambda c: dict(c), carry)
         aN = carry["aN"]
         nxt = carry["nxt"]
         node = nxt[0]
+        rc_c = carry["rc"] if QU else rc
+        len_c = carry["len"] if QU else lengths_v
+        D_c = carry["D"] if QU else D
+        Ds_c = carry["Ds"] if QU else Ds
+        rtN_c = carry["rtN"] if QU else rtN
 
         # arena pop-row gather + node unpack (roots from rtN)
         nn = jnp.maximum(node - S.NROOT, 0)
-        f = nn // S.NSLOT
-        s_ = nn - f * S.NSLOT
-        flat = aN.reshape((S.NFRAME + 1) * B, S.ROWW)
+        fq = nn // S.NSLOT
+        s_ = nn - fq * S.NSLOT
+        f = (fq % S.NFRAME) if QU else fq
+        flat = aN.reshape(NAREN * B, S.ROWW)
         rowv = jnp.take(flat, f * B + lane_iota, axis=0)       # [B, ROWW]
         slots = rowv[:, :S.NSLOT * 4].reshape(B, S.NSLOT, 4)
         sl1h = jnp.arange(S.NSLOT, dtype=jnp.int32)[None, :] == s_[:, None]
         aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1,
                      dtype=jnp.int32)                          # [B, 4]
-        node4 = jnp.where((node < S.NROOT)[:, None], rtN[:, 0], aV)
+        node4 = jnp.where((node < S.NROOT)[:, None], rtN_c[:, 0], aV)
         eL, eU, m1 = node4[:, 0], node4[:, 1], node4[:, 2]
 
         # rank-table row gather in stream order, transposed lane-major
@@ -644,22 +746,24 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
 
         # per-lane picks: read char (DFS + exact) and D/D_seed bounds
         ei = m1 & 0xFF
-        c_dfs = jnp.clip(pick(rc, jnp.clip(ei - 1, 0, Lmax - 1)),
+        c_dfs = jnp.clip(pick(rc_c, jnp.clip(ei - 1, 0, Lmax - 1)),
                          0, 4).astype(jnp.int32)
         xj = carry["sv"][_SV_XJ]
         c_x = jnp.where(xj >= 0,
-                        pick(rc, jnp.clip(xj, 0, Lmax - 1)),
+                        pick(rc_c, jnp.clip(xj, 0, Lmax - 1)),
                         4).astype(jnp.int32)
         dnd = lambda a, i, T: pick(a[:, :, 0], jnp.clip(i, 0, T))
         dw = lambda a, i, T: pick(a[:, :, 1], jnp.clip(i, 0, T))
-        seed_index = ei - (lengths_v - S.p_seedlen)
+        seed_index = ei - (len_c - S.p_seedlen)
         cdp = jnp.stack(
             [c_dfs, c_x,
-             dnd(D, ei - 1, TDm1), dnd(D, ei - 2, TDm1),
-             dw(D, ei - 1, TDm1), dw(D, ei - 2, TDm1),
-             dnd(Ds, seed_index - 1, TSm1), dnd(Ds, seed_index - 2, TSm1),
-             dw(Ds, seed_index - 1, TSm1), dw(Ds, seed_index - 2, TSm1),
-             seed_index, lengths_v,
+             dnd(D_c, ei - 1, TDm1), dnd(D_c, ei - 2, TDm1),
+             dw(D_c, ei - 1, TDm1), dw(D_c, ei - 2, TDm1),
+             dnd(Ds_c, seed_index - 1, TSm1),
+             dnd(Ds_c, seed_index - 2, TSm1),
+             dw(Ds_c, seed_index - 1, TSm1),
+             dw(Ds_c, seed_index - 2, TSm1),
+             seed_index, len_c,
              jnp.zeros_like(ei), jnp.zeros_like(ei),
              jnp.zeros_like(ei), jnp.zeros_like(ei)], axis=0)  # [16, B]
 
@@ -684,11 +788,13 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
              jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
             axis=0).T                                          # [B, ROWW]
         any_pop = jnp.any(sv_n[_SV_POPPED] > 0)
+        wslot = (carry["fcnt"] % S.NFRAME) if QU \
+            else jnp.minimum(carry["fcnt"], S.NFRAME)
         aN = jax.lax.dynamic_update_slice(
-            aN, frow[None], (jnp.minimum(carry["fcnt"], S.NFRAME),
-                             jnp.int32(0), jnp.int32(0)))
-        return dict(aN=aN, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n,
-                    nxt=nxt_n, fcnt=carry["fcnt"] + any_pop.astype(jnp.int32),
+            aN, frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
+        return dict(carry, aN=aN, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n,
+                    nxt=nxt_n,
+                    fcnt=carry["fcnt"] + any_pop.astype(jnp.int32),
                     iters=carry["iters"] + 1)
 
     # ---- pack the dict state into the lane-major carry
@@ -713,10 +819,16 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
 
     carry = dict(aN=state["aN"], head=head0, sv=sv0, oa=oa0, xa=xa0,
                  nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"])
+    if QU:
+        carry.update({k: state[k] for k in qkeys})
 
     def cond(cr):
-        return jnp.any(cr["sv"][_SV_MODE] != MODE_DONE) \
-            & (cr["iters"] < cfg.max_iters)
+        alive = jnp.any(cr["sv"][_SV_MODE] != MODE_DONE)
+        if QU:
+            alive = alive | (cr["counter"] < NR_q) \
+                | jnp.any((cr["sv"][_SV_MODE] == MODE_DONE)
+                          & ~cr["flushed"] & (lane_iota < NR_q))
+        return alive & (cr["iters"] < cfg.max_iters)
 
     carry = jax.lax.while_loop(cond, step, carry)
 
@@ -741,4 +853,6 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT):
         x_L=carry["xa"][:S.KX].T, x_U=carry["xa"][S.KX:].T,
         iters=carry["iters"], fcnt=carry["fcnt"],
     )
+    if QU:
+        out.update({k: carry[k] for k in qkeys})
     return out

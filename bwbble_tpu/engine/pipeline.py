@@ -16,8 +16,20 @@ Throughput structure:
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time as _tm
 from collections import deque
 from functools import partial
+
+# BWBBLE_TRACE=1: live per-phase/per-launch timings on stderr
+_TRACE = bool(int(os.environ.get("BWBBLE_TRACE", "0")))
+
+
+def _tr(msg: str) -> None:
+    if _TRACE:
+        sys.stderr.write(f"[pipeline +{_tm.monotonic():.1f}s] {msg}\n")
+        sys.stderr.flush()
 
 import numpy as np
 import jax.numpy as jnp
@@ -113,6 +125,7 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
         def chunk(sq, ln, ln_np, K):
             return _calc_d_chunk(didx, sq, ln, ln_np, params, K)
     D_parts, Ds_parts, dov_parts = [], [], []
+    _tr(f"calc_d_all: NR={NR} batch={batch} K1={K1}")
     for s in range(0, NR, batch):
         e = min(s + batch, reads.count)
         nb = e - s
@@ -120,7 +133,9 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
         sq[:nb, :reads.seq.shape[1]] = reads.seq[s:e]
         ln = np.zeros((batch,), dtype=np.int32)
         ln[:nb] = reads.lengths[s:e]
+        _tc = _tm.monotonic()
         D, Ds, dov = chunk(jnp.asarray(sq), jnp.asarray(ln), ln, K1)
+        _tr(f"calc_d chunk @{s}: {_tm.monotonic() - _tc:.2f}s")
         D_parts.append(D[:nb])
         Ds_parts.append(Ds[:nb])
         dov_parts.append(np.asarray(dov)[:nb])
@@ -150,6 +165,7 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     # the scan's wide phase) get exact D bounds from the native unbounded-
     # list scanner, so D overflow never forces whole-read gold fallback
     still = np.flatnonzero(dov_all)
+    _tr(f"calc_d_all: native escalation for {still.size} reads")
     if still.size and params.is_multiref:
         from bwbble_tpu import constants as CN
         from bwbble_tpu.native import get_native
@@ -210,6 +226,22 @@ def difficulty_scores(didx: DeviceIndex, reads: Reads, params: AlnParams,
     return out
 
 
+def device_params_ok(params: AlnParams, max_len: int) -> bool:
+    """True when the device engine's packed-word domain covers `params`
+    (meta1 layout: mm 5 bits, go 3, ge 4, i 8, plen 9; score buckets
+    bounded).  Outside it — the reference accepts e.g. -o 7 or -n 31
+    (main.c:100-117) — alignment routes to the host gold engine instead
+    of tripping engine asserts."""
+    nb = ((int(params.max_diff) + 1) * int(params.mm_score)
+          + (int(params.max_gapo) + 1) * int(params.gapo_score)
+          + (int(params.max_gape) + 1) * int(params.gape_score))
+    return (int(params.max_diff) + 1 <= 31
+            and int(params.max_gapo) + 1 <= 7
+            and int(params.max_gape) + 1 <= 15
+            and max_len <= 255
+            and nb <= 1024)
+
+
 def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        params: AlnParams, cfg: EngineConfig | None = None,
                        d_cap: int = 32, stats: dict | None = None,
@@ -234,6 +266,17 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     beats the deep tiers on the heavy tail).
     """
     cfg = cfg or EngineConfig()
+    if not device_params_ok(params, max(reads.max_len, 1)):
+        counters = {"fallback_reads": reads.count, "retried_reads": 0,
+                    "t_dbounds": 0.0, "gold_routed": True}
+        if stats is not None:
+            stats.update(counters)
+        out: list = [None] * reads.count
+        for orig, alns in gold_fallback_many(
+                idx, reads, list(range(reads.count)), params, precalc,
+                int(params.n_threads)).items():
+            out[orig] = alns
+        return out
     nw = 6 if str(didx.idt) == "int64" else 4
     if mesh is not None:
         # the mesh product path (dp reads x tp index shards) is the fixed-
@@ -354,9 +397,13 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         win = window if arena_bytes < (2 << 30) else 0
         pending: deque = deque()
         for start in range(0, sel_all.shape[0], tier_B):
+            t0 = _tm.monotonic()
             pending.append(dispatch(start))
+            t1 = _tm.monotonic()
             while len(pending) > win:
                 collect(pending.popleft())
+            _tr(f"tier B={tier_B} cap={tier_cfg.cap} launch@{start}: "
+                f"dispatch {t1 - t0:.2f}s collect {_tm.monotonic() - t1:.2f}s")
         while pending:
             collect(pending.popleft())
         return failed
@@ -511,17 +558,19 @@ def _run_batch(didx, rc, lengths, params, cfg, seeds, D, Ds):
 def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                   cfg: EngineConfig, d_cap: int, stats, precalc,
                   seed_slots: int, sort_reads: bool,
-                  qchunk: int = 2) -> list:
+                  qchunk: int = 16) -> list:
     """Continuous batching: engine launches stream reads through a fixed
     set of lanes (hardest reads first — LPT scheduling), so the lockstep
     iteration count is (total pops / lanes)-bound instead of per-batch
     max-bound.
 
-    Each launch covers qchunk*lanes reads: queue-mode arena frames are
-    consumed per pop across the WHOLE launch, so chunking keeps the frame
-    budget (cfg.cap) per-launch instead of per-run.  Reads that overflow
-    any capacity retry through the fixed-batch path (which bounds frames
-    per READ), and only persistent failures reach the host gold engine.
+    The queue-mode arena is a RING (engine/inexact.py): every read gets a
+    full cfg.cap frame budget from its own start, and parent chains are
+    walked at flush time, so one launch can stream arbitrarily many reads.
+    qchunk*lanes reads per launch keeps absolute node ids inside the
+    23-bit packed-prev-link range.  Reads that overflow their per-read
+    budget retry through the fixed-batch escalation ladder, and only
+    persistent failures reach the host gold engine.
     """
     import time as _time
     t_start = _time.time()
@@ -564,6 +613,15 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     Q = min(NR, max(1, int(qchunk)) * lanes)
     pathcap = cfg.pathcap or (Lmax + 32)
     nroot = 1 if seeds_all is None else seeds_all[0].shape[1]
+    # ring-mode iteration budget: each of the <= ceil(Q/lanes) reads a lane
+    # serves can take up to NFRAME iterations; cap at the packed-prev-link
+    # id range (23 bits / NSLOT)
+    nslot = 1 + 2 * nc
+    nframe = max((int(cfg.cap) - nroot) // nslot - 1, 2)
+    need = (Q // lanes + 2) * nframe + 4096
+    iter_cap = ((1 << 23) - 64) // nslot - 2
+    cfg = dataclasses.replace(
+        cfg, max_iters=min(max(int(cfg.max_iters), need), iter_cap))
     out: list = [None] * NR
     failed: list[int] = []
     iters_total = 0
@@ -596,27 +654,8 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                     | dover[cs:ce] | seed_over[cs:ce])
         o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
 
-        lanes_l, nodes_l, keys = [], [], []
-        for r in range(nb):
-            if overflow[r]:
-                continue
-            for k in range(int(n_alns[r])):
-                lanes_l.append(int(o["o_lane"][r]))
-                nodes_l.append(int(o["o_node"][r, k]))
-                keys.append((r, k))
-        paths_rev = {}
-        if keys:
-            W = len(keys)
-            Wp = _pow2_at_least(W)
-            lanes_a = np.zeros(Wp, dtype=np.int32)
-            nodes_a = np.full(Wp, -1, dtype=np.int32)
-            lanes_a[:W] = lanes_l
-            nodes_a[:W] = nodes_l
-            pr = np.asarray(walk_paths(
-                res["arena"], jnp.asarray(lanes_a), jnp.asarray(nodes_a),
-                nroot=nroot, nslot=1 + 2 * nc, nc=nc, pathcap=pathcap))
-            for w, key in enumerate(keys):
-                paths_rev[key] = pr[w]
+        # paths were walked on-device at flush time (ring arena)
+        paths_all = np.asarray(res["paths"])[:nb]
 
         for r in range(nb):
             orig = int(order[cs + r])
@@ -626,7 +665,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             alns = []
             for k in range(int(n_alns[r])):
                 out_len = int(o["o_len"][r, k])
-                path = _reconstruct_path(paths_rev[(r, k)],
+                path = _reconstruct_path(paths_all[r, k],
                                          int(o["o_plen"][r, k]), out_len,
                                          root_plen)
                 alns.append(Aln(

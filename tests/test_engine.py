@@ -166,3 +166,37 @@ def test_queued_engine_parity_precalc(world):
                                queued=True, precalc=table, seed_slots=8)
     gold = align_reads_gold(idx, reads, params, precalc=table)
     assert dev_q == gold
+
+
+def test_queued_ring_wrap_parity(world):
+    """Tiny arena: the ring wraps many times across the queue and some
+    reads exceed their per-read frame budget (overflow -> retry/fallback).
+    Results must stay byte-identical to the gold engine, proving the ring
+    clock, flush-time path walks, and per-read budgets are exact."""
+    idx, didx, reads = world["idx"], world["didx"], world["reads"]
+    params = AlnParams(batch_size=8, max_diff=2)
+    # cap=1024 -> NFRAME ~ 43 frames: far below most reads' pop counts
+    cfg = EngineConfig(cap=1024, acap=32, kx=8, flush=4)
+    stats = {}
+    dev_q = align_reads_device(idx, didx, reads, params, cfg, d_cap=24,
+                               queued=True, stats=stats)
+    gold = align_reads_gold(idx, reads, params)
+    assert dev_q == gold
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(max_diff=1, max_gapo=7),                    # go field: 3 bits
+    dict(max_diff=1, max_gape=15),                   # ge field: 4 bits
+    dict(max_diff=2, mm_score=250, gapo_score=300),  # bucket-count bound
+])
+def test_extreme_params_route_to_gold(world, kwargs):
+    """Parameters outside the device engine's packed domain (the reference
+    accepts them, main.c:100-117) must route to gold, not crash."""
+    idx, didx, reads = world["idx"], world["didx"], world["reads"]
+    params = AlnParams(batch_size=32, **kwargs)
+    stats = {}
+    dev = align_reads_device(idx, didx, reads, params,
+                             EngineConfig(cap=8192), stats=stats)
+    gold = align_reads_gold(idx, reads, params)
+    assert dev == gold
+    assert stats.get("gold_routed") or stats.get("fallback_reads") == 0

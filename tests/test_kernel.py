@@ -105,3 +105,37 @@ def test_kernel_matches_xla_body(world):
                                       jnp.asarray(nodes_a), **kw))
         np.testing.assert_array_equal(p_ref[:len(lanes_l)],
                                       p_got[:len(lanes_l)])
+
+
+def test_kernel_queued_matches_xla_body(world):
+    """Queue mode (ring arena + flush/refill + flush-time path walks)
+    through the Pallas kernel must reproduce the XLA queue loop exactly."""
+    from bwbble_tpu.engine.inexact import inexact_search_queued
+    idx, didx, reads = world
+    params = AlnParams(max_diff=3, batch_size=128)
+    cfg = EngineConfig(cap=4096, acap=24, kx=4, max_iters=20_000,
+                       flush=16, backend="xla")
+    # tile the read set so 384 reads stream through 128 lanes: exercises
+    # mid-run refills, ring wraps, and flush-time walks in the kernel path
+    rc = np.tile(np.asarray(reads.rc, dtype=np.int8), (8, 1))
+    lengths = np.tile(reads.lengths.astype(np.int32), 8)
+    D, Ds, _ = _calc_d_chunk(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                             lengths, params, K=16)
+
+    def run(cfg_):
+        res = inexact_search_queued(
+            didx, jnp.asarray(rc), jnp.asarray(lengths), D, Ds,
+            params, cfg_, lanes=128)
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    ref = run(cfg)
+    PK.INTERPRET = True
+    try:
+        got = run(dataclasses.replace(cfg, backend="pallas"))
+    finally:
+        PK.INTERPRET = False
+
+    for k in ("n_alns", "o_L", "o_U", "o_score", "o_len", "o_node",
+              "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
+              "paths", "n_pushed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
