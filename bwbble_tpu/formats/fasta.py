@@ -121,3 +121,58 @@ def read_ref(path: str) -> np.ndarray:
     """Load the raw code sequence of a `.ref` file (ref2seq, io.c:158-185)."""
     with open(path, "rb") as f:
         return np.frombuffer(f.read(), dtype=np.uint8)
+
+
+# ------------------------------------------------- legacy 4-bit `.pac` codec
+#
+# The reference's earlier on-disk form (fasta2pac/pac2seq, io.c:32-156 and
+# io.c:358-399): fwd-only codes packed two per byte (first char in the high
+# nibble), with one trailing byte holding fwd_len % 2 so the unpacker can
+# recover the exact length.  Dead in the reference pipeline (declared in
+# io.h:211-212, never called) but part of its API surface.
+
+def pack_codes(codes: np.ndarray) -> bytes:
+    """4-bit-pack a code sequence, high nibble first (pack_byte, io.c:632)."""
+    n = codes.shape[0]
+    padded = np.zeros((n + 1) // 2 * 2, dtype=np.uint8)
+    padded[:n] = codes
+    return ((padded[0::2] << 4) | padded[1::2]).tobytes()
+
+
+def unpack_codes(packed: np.ndarray, length: int) -> np.ndarray:
+    """Inverse of pack_codes (unpack_byte, io.c:653)."""
+    out = np.empty(packed.shape[0] * 2, dtype=np.uint8)
+    out[0::2] = packed >> 4
+    out[1::2] = packed & 0x0F
+    return out[:length]
+
+
+def fasta2pac(fasta_path: str, pac_path: str, ann_path: str | None
+              ) -> Annotations:
+    """FASTA -> `.pac` + `.ann` (fasta2pac, io.c:32-156): fwd concatenation
+    only (no reverse complement), '$' after each sequence, 4-bit packed,
+    final byte = fwd_len % 2."""
+    with open(fasta_path, "rb") as f:
+        codes, ann = encode_fasta(f.read())
+    fwd = codes[:ann.fwd_len]
+    with open(pac_path, "wb") as f:
+        f.write(pack_codes(fwd))
+        f.write(bytes([ann.fwd_len % 2]))
+    if ann_path is not None:
+        write_ann(ann_path, ann)
+    return ann
+
+
+def pac2seq(pac_path: str) -> np.ndarray:
+    """`.pac` -> fwd+RC code sequence (pac2seq, io.c:358-399); identical to
+    the codes fasta2ref would produce for the same FASTA."""
+    data = np.fromfile(pac_path, dtype=np.uint8)
+    if data.shape[0] < 1:
+        raise ValueError(f"{pac_path}: empty .pac file")
+    leftover = int(data[-1])
+    length = (data.shape[0] - 1) * 2 - leftover
+    if leftover not in (0, 1) or length < 0:
+        raise ValueError(f"{pac_path}: corrupt .pac trailer")
+    fwd = unpack_codes(data[:-1], length)
+    rc = C.IUPAC_COMPL[fwd[::-1]]
+    return np.concatenate([fwd, rc])

@@ -90,6 +90,85 @@ def test_parse_read_mapping():
     assert t["strand"] == 1 and t["mref_pos"] == [5, 7, 0]
 
 
+_PAC_SHIM = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include "io.h"
+/* drive the reference's legacy codecs (not reachable from its CLI) */
+int main(int argc, char** argv) {
+    fasta2pac(argv[1], argv[2], argv[3]);
+    unsigned char* seq; bwtint_t n;
+    pac2seq(argv[2], &seq, &n);
+    FILE* f = fopen(argv[4], "wb");
+    fwrite(seq, 1, n, f);
+    fclose(f);
+    return 0;
+}
+"""
+
+
+@pytest.fixture(scope="session")
+def pac_shim(tmp_path_factory):
+    """Reference fasta2pac/pac2seq compiled behind a tiny driver main."""
+    import os
+    src_dir = "/root/reference/mg-aligner"
+    if not os.path.isdir(src_dir):
+        pytest.skip("reference sources unavailable")
+    d = tmp_path_factory.mktemp("pacshim")
+    shim = str(d / "shim.c")
+    with open(shim, "w") as f:
+        f.write(_PAC_SHIM)
+    exe = str(d / "pacshim")
+    r = subprocess.run(
+        ["gcc", "-O2", "-std=gnu99", "-I", src_dir, shim,
+         src_dir + "/io.c", "-o", exe, "-lm"], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"pac shim compile failed: {r.stderr.decode()[:200]}")
+    return exe
+
+
+def test_pac_oracle_byte_parity(pac_shim, small_world, tmp_path):
+    """`.pac` bytes and the unpacked fwd+RC sequence match the reference
+    (fasta2pac io.c:32-156, pac2seq io.c:358-399)."""
+    from bwbble_tpu.formats.fasta import fasta2pac, pac2seq
+    fa = small_world["fasta"]
+    ref_pac, ref_ann = str(tmp_path / "r.pac"), str(tmp_path / "r.ann")
+    ref_seq = str(tmp_path / "r.seq")
+    subprocess.run([pac_shim, fa, ref_pac, ref_ann, ref_seq], check=True,
+                   capture_output=True)
+    my_pac, my_ann = str(tmp_path / "m.pac"), str(tmp_path / "m.ann")
+    fasta2pac(fa, my_pac, my_ann)
+    assert open(my_pac, "rb").read() == open(ref_pac, "rb").read()
+    assert open(my_ann).read() == open(ref_ann).read()
+    seq = pac2seq(my_pac)
+    assert seq.tobytes() == open(ref_seq, "rb").read()
+    # and the unpacked codes equal what fasta2ref produces
+    assert np.array_equal(seq, small_world["codes"])
+
+
+def test_pac_odd_length_roundtrip(tmp_path):
+    """Odd fwd length exercises the trailer byte (endByte=1 path)."""
+    from bwbble_tpu.formats.fasta import fasta2pac, pac2seq
+    fa = str(tmp_path / "odd.fa")
+    with open(fa, "w") as f:
+        f.write(">s\nACGTA\n")   # 5 bases + '$' = 6 (even); two seqs -> odd
+        f.write(">t\nGGT\n")     # +4 -> fwd_len 10? no: 6+4=10 even; add one
+        f.write(">u\nC\n")       # +2 -> 12... lengths include '$'
+    # force odd: single 4-base seq -> fwd_len 5
+    fa2 = str(tmp_path / "odd2.fa")
+    with open(fa2, "w") as f:
+        f.write(">s\nACGT\n")
+    from bwbble_tpu.formats.fasta import fasta2ref
+    for path in (fa, fa2):
+        pac = path + ".pac"
+        ann = fasta2pac(path, pac, None)
+        codes, _ = fasta2ref(path, None, None)
+        assert np.array_equal(pac2seq(pac), codes)
+        with open(pac, "rb") as f:
+            data = f.read()
+        assert data[-1] == ann.fwd_len % 2
+
+
 def test_aln_roundtrip(tmp_path):
     alns = [
         [Aln(score=3, L=10, U=12, num_mm=1, num_gapo=0, num_gape=0,
