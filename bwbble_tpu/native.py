@@ -66,6 +66,12 @@ class _Native:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.bwbble_build_occ.restype = None
+        self._has_pre_scan = hasattr(lib, "bwbble_pre_scan")
+        if self._has_pre_scan:
+            lib.bwbble_pre_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+            lib.bwbble_pre_scan.restype = ctypes.c_int64
         self._has_fastq = hasattr(lib, "bwbble_fastq_scan")
         if self._has_fastq:
             lib.bwbble_fastq_scan.argtypes = [
@@ -169,6 +175,22 @@ class _Native:
         if n < 0:
             return None
         return meta[:n], paths[:n]
+
+    def pre_scan(self, data: np.ndarray, n: int) -> np.ndarray | None:
+        """Per-entry interval counts of a `.pre` file's variable-size records
+        (the sequential walk in load_precalc_sa_intervals, align.c:226-238);
+        None if unsupported, raises on truncated input."""
+        if not self._has_pre_scan:
+            return None
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        cnt = np.empty(n, dtype=np.int32)
+        got = self._lib.bwbble_pre_scan(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(data.shape[0]), ctypes.c_int64(n),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if got != n:
+            raise ValueError(f".pre file truncated (decoded {got} of {n})")
+        return cnt
 
     def parse_fastq(self, data: bytes):
         """Two-pass FASTQ parse into fixed-shape nt4 batches; returns

@@ -135,6 +135,25 @@ int sais_u8_impl(const uint8_t* T, int64_t* SA_out, int64_t n) {
 
 extern "C" {
 
+// Scan a `.pre` seed-table file (variable-size records: int32 count then
+// count x 16-byte intervals; store_sa_interval_list, align.c:144-152) and
+// emit the per-entry counts.  Sizes are data-dependent, so the walk is
+// inherently sequential -- done here instead of a 16.7M-iteration Python
+// loop (k=12 tables).  Returns entries decoded, or -1 on truncation.
+int64_t bwbble_pre_scan(const uint8_t* data, int64_t len, int64_t n,
+                        int32_t* cnt_out) {
+  int64_t pos = 0;
+  for (int64_t e = 0; e < n; ++e) {
+    if (pos + 4 > len) return -1;
+    int32_t c;
+    std::memcpy(&c, data + pos, 4);
+    if (c < 0 || pos + 4 + int64_t{16} * c > len) return -1;
+    cnt_out[e] = c;
+    pos += 4 + int64_t{16} * c;
+  }
+  return n;
+}
+
 // Suffix array of T[0..n-1] (bytes).  SA receives n entries.
 int bwbble_sais_u8(const uint8_t* T, int64_t* SA, int64_t n) {
   if (n <= 0) return 0;
