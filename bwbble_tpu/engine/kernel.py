@@ -27,10 +27,11 @@ identical integer formulas and masked-select structure; the kernel is pure
 int32 arithmetic, so results are identical.  tests/test_kernel.py asserts
 equality of the result dict against the XLA body on the same inputs.
 
-Scope: fixed-batch mode, int32 indices, multiref, no precalc seeds (the
-chr21/easy headline configs).  Queue mode, int64, 1-to-1 (-S), seeds and
-xsteps>1 route to the XLA body via the EngineConfig.backend="auto" policy
-in engine/inexact.py.
+Scope: int32 indices, multiref, no precalc seeds (the chr21/easy headline
+configs), in both fixed-batch and ring-arena queue mode (`queued_ctx`
+threads the queue-refill/flush glue through run_loop).  int64, 1-to-1
+(-S), seeds and xsteps>1 route to the XLA body via the
+EngineConfig.backend="auto" policy in engine/inexact.py.
 """
 
 from __future__ import annotations

@@ -418,17 +418,23 @@ struct GEntry {
   int32_t i, mm, go, ge, state, snps, score;
   int32_t path_len;
   uint8_t path[kPathCap];
+  GEntry() {}  // intentionally uninitialized: every field is filled at the
+               // push site (a value-init would memset 304 B per push)
 };
 
 struct GoldHeap {
   std::vector<std::vector<GEntry>> buckets;
   int64_t best, count = 0;
   explicit GoldHeap(int64_t nb) : buckets(nb), best(nb) {}
-  void push(GEntry&& e) {
-    int64_t s = e.score;
-    buckets[s].push_back(std::move(e));
+  // Entries are constructed IN PLACE in their score bucket — no stack
+  // temporary, no struct copy (the 304-byte entry would otherwise be
+  // memset + copied twice per push; same LIFO order as push_back).
+  GEntry& emplace(int64_t s) {
+    auto& b = buckets[s];
+    b.emplace_back();
     ++count;
     if (s < best) best = s;
+    return b.back();
   }
   GEntry pop() {
     auto& b = buckets[best];
@@ -457,6 +463,9 @@ struct GoldTables {
 
 // All-chars bound vector with quirk Q1 semantics
 // (FMIndex.O_alphabet; bwt.c:374-438 + get_occ_count_alphabet :689-781).
+// One pass over the (at most interval/64) plane words counts ALL codes at
+// once — the per-code count_range calls would reload the same four plane
+// words 11x (the reference's analog is the SSE one-pass in bwt.c:689-781).
 void o_alphabet(const DIdx& ix, const GoldTables& t, int64_t i, int64_t inc,
                 int64_t out[16]) {
   out[0] = 0;
@@ -473,15 +482,38 @@ void o_alphabet(const DIdx& ix, const GoldTables& t, int64_t i, int64_t inc,
   for (int tt = 0; tt < 4; ++tt)
     first |= ((ix.planes[tt * ix.nwords + (base >> 6)] >> (base & 63)) & 1)
              << tt;
+  int64_t cnts[16] = {0};
+  int64_t a = base + 1, b = i;
+  if (a <= b) {
+    int64_t w0 = a >> 6, w1 = b >> 6;
+    for (int64_t w = w0; w <= w1; ++w) {
+      uint64_t p0 = ix.planes[w];
+      uint64_t p1 = ix.planes[ix.nwords + w];
+      uint64_t p2 = ix.planes[2 * ix.nwords + w];
+      uint64_t p3 = ix.planes[3 * ix.nwords + w];
+      uint64_t mask = ~uint64_t(0);
+      if (w == w0) mask &= ~uint64_t(0) << (a & 63);
+      if (w == w1) {
+        int hi = int(b & 63);
+        mask &= (hi == 63) ? ~uint64_t(0) : ((uint64_t(1) << (hi + 1)) - 1);
+      }
+      uint64_t s0[2] = {~p0 & mask, p0 & mask};
+      uint64_t s1[2] = {~p1, p1};
+      uint64_t s2[2] = {~p2, p2};
+      uint64_t s3[2] = {~p3, p3};
+      for (int j = 1; j < 16; ++j)
+        cnts[j] += __builtin_popcountll(s0[j & 1] & s1[(j >> 1) & 1] &
+                                        s2[(j >> 2) & 1] & s3[(j >> 3) & 1]);
+    }
+  }
   for (int j = 1; j < 16; ++j) {
     if (t.skipped[j]) {
       // no checkpoint/in-block count; only the double-count decrement of
       // the checkpoint's first char leaks through (quirk Q1, bwt.c:780)
       out[j] = ix.Carr[j] + inc - (first == j ? 1 : 0);
     } else {
-      // count_range is already base-EXCLUSIVE, so no first-char decrement
-      out[j] = ix.Carr[j] + ix.occ[k * 16 + j]
-               + ix.count_range(j, base + 1, i) + inc;
+      // the in-block count is base-EXCLUSIVE, so no first-char decrement
+      out[j] = ix.Carr[j] + ix.occ[k * 16 + j] + cnts[j] + inc;
     }
   }
 }
@@ -598,10 +630,10 @@ extern "C" int64_t bwbble_gold_align_multiref(
 
   GoldHeap heap(p.num_buckets);
   {
-    GEntry root{};
+    GEntry& root = heap.emplace(0);
     root.L = 0; root.U = length - 1; root.i = int32_t(read_len);
+    root.mm = 0; root.go = 0; root.ge = 0; root.snps = 0;
     root.state = 0; root.path_len = 0; root.score = 0;
-    heap.push(std::move(root));
   }
   int64_t best_score = p.score(p.max_diff + 1, p.max_gapo + 1,
                                p.max_gape + 1);
@@ -689,14 +721,14 @@ extern "C" int64_t bwbble_gold_align_multiref(
 
     auto push = [&](int32_t i, int64_t L, int64_t U, int32_t mm, int32_t go,
                     int32_t ge, int32_t state, int32_t snps) {
-      GEntry c{};
+      int32_t score = int32_t(p.score(mm, go, ge));
+      GEntry& c = heap.emplace(score);
       c.L = L; c.U = U; c.i = i; c.mm = mm; c.go = go; c.ge = ge;
       c.state = state; c.snps = snps & 0xFF;
-      c.score = int32_t(p.score(mm, go, ge));
+      c.score = score;
       c.path_len = std::min<int32_t>(e.path_len + 1, kPathCap);
       std::memcpy(c.path, e.path, e.path_len);
       if (e.path_len < kPathCap) c.path[e.path_len] = uint8_t(state);
-      heap.push(std::move(c));
     };
 
     // INDELS (inexact_match.c:434-463)
