@@ -329,6 +329,48 @@ struct DIdx {
     if (c == 0 && base < sa0 && sa0 <= i) --cnt;  // bwt.c:363-369
     return occ[k * 16 + c] + cnt;
   }
+
+  // O(c, i) for ALL 16 codes in one walk over the (at most interval/64)
+  // plane words — the 7-base interval steps in calc_d/exact completion
+  // would otherwise re-walk the same words 14x per interval.
+  void O_all(int64_t i, int64_t out[16]) const {
+    if (i == length - 1) {
+      for (int c = 0; c < 16; ++c) out[c] = Carr[c + 1] - Carr[c];
+      return;
+    }
+    if (i < 0) {
+      for (int c = 0; c < 16; ++c) out[c] = 0;
+      return;
+    }
+    int64_t k = i / interval, base = k * interval;
+    int64_t cnts[16] = {0};
+    int64_t a = base + 1;
+    if (a <= i) {
+      int64_t w0 = a >> 6, w1 = i >> 6;
+      for (int64_t w = w0; w <= w1; ++w) {
+        uint64_t p0 = planes[w];
+        uint64_t p1 = planes[nwords + w];
+        uint64_t p2 = planes[2 * nwords + w];
+        uint64_t p3 = planes[3 * nwords + w];
+        uint64_t mask = ~uint64_t(0);
+        if (w == w0) mask &= ~uint64_t(0) << (a & 63);
+        if (w == w1) {
+          int hi = int(i & 63);
+          mask &= (hi == 63) ? ~uint64_t(0)
+                             : ((uint64_t(1) << (hi + 1)) - 1);
+        }
+        uint64_t s0[2] = {~p0 & mask, p0 & mask};
+        uint64_t s1[2] = {~p1, p1};
+        uint64_t s2[2] = {~p2, p2};
+        uint64_t s3[2] = {~p3, p3};
+        for (int c = 0; c < 16; ++c)
+          cnts[c] += __builtin_popcountll(s0[c & 1] & s1[(c >> 1) & 1] &
+                                          s2[(c >> 2) & 1] & s3[(c >> 3) & 1]);
+      }
+    }
+    if (base < sa0 && sa0 <= i) --cnts[0];  // bwt.c:363-369
+    for (int c = 0; c < 16; ++c) out[c] = occ[k * 16 + c] + cnts[c];
+  }
 };
 
 }  // namespace
@@ -366,11 +408,14 @@ void calc_d_core(const DIdx& ix, const uint8_t* nucl_bases, int nb_per,
       curr.clear();
     } else {
       next.clear();
+      int64_t Olo[16], Ohi[16];
       for (const auto& lu : curr) {
+        ix.O_all(lu.first - 1, Olo);
+        ix.O_all(lu.second, Ohi);
         for (int b = 0; b < nb_per; ++b) {
           int base = nucl_bases[c * nb_per + b];
-          int64_t L = Carr[base] + ix.O(base, lu.first - 1) + 1;
-          int64_t U = Carr[base] + ix.O(base, lu.second);
+          int64_t L = Carr[base] + Olo[base] + 1;
+          int64_t U = Carr[base] + Ohi[base];
           if (L <= U) {
             num_matches += U - L + 1;
             // adjoining-interval merge on insert (add_sa_interval,
@@ -532,15 +577,18 @@ std::vector<std::pair<int64_t, int64_t>> exact_bounded(
     const DIdx& ix, const GoldTables& t, const int8_t* read, int64_t l,
     int64_t u, int64_t i) {
   std::vector<std::pair<int64_t, int64_t>> curr{{l, u}}, nxt;
+  int64_t Olo[16], Ohi[16];
   for (int64_t r = i; r >= 0; --r) {
     int c = read[r];
     if (c < 0 || c > 3) return {};
     nxt.clear();
     for (const auto& lu : curr) {
+      ix.O_all(lu.first - 1, Olo);
+      ix.O_all(lu.second, Ohi);
       for (int b = 0; b < 7; ++b) {
         int base = t.nucl_bases[c * 7 + b];
-        int64_t L = ix.Carr[base] + ix.O(base, lu.first - 1) + 1;
-        int64_t U = ix.Carr[base] + ix.O(base, lu.second);
+        int64_t L = ix.Carr[base] + Olo[base] + 1;
+        int64_t U = ix.Carr[base] + Ohi[base];
         if (L <= U) add_intv(nxt, L, U);
       }
     }
