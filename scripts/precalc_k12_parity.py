@@ -20,7 +20,11 @@ import sys
 import tempfile
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin registers from sitecustomize and ignores
+# JAX_PLATFORMS; force the CPU backend the same way tests/conftest.py does
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
