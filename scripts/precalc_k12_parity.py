@@ -47,10 +47,13 @@ def ensure_world(d: str) -> None:
 
 
 def ensure_oracle_artifacts(d: str, oracle: str) -> None:
-    """Reference `-P` align: lazily builds + stores oracle/w.fa.pre."""
+    """Reference `-n 2 -P` align: lazily builds + stores oracle/w.fa.pre.
+
+    The `.aln` is ALWAYS regenerated (it is cheap once the `.pre` exists)
+    so a stale file from a manual run with different flags can never
+    poison the comparison; `-n 2` so the parity check covers real
+    alignments, not 40 empty records."""
     od = os.path.join(d, "oracle")
-    if os.path.exists(os.path.join(od, "w.fa.pre")):
-        return
     os.makedirs(od, exist_ok=True)
     for ext in ("", ".ref", ".ann", ".bwt"):
         src = os.path.join(d, "w.fa" + ext)
@@ -60,17 +63,20 @@ def ensure_oracle_artifacts(d: str, oracle: str) -> None:
             shutil.copy(src, dst)
     t0 = time.time()
     subprocess.run(
-        [oracle, "align", "-P", os.path.join(od, "w.fa"),
+        [oracle, "align", "-n", "2", "-P", os.path.join(od, "w.fa"),
          os.path.join(d, "w.fq"), os.path.join(od, "w.aln")],
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    print(f"oracle -P align (incl. lazy .pre build): {time.time()-t0:.1f}s",
-          flush=True)
+    print(f"oracle -n2 -P align (incl. lazy .pre build): "
+          f"{time.time()-t0:.1f}s", flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--world", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing byte-verified w.fa.pre in the "
+                         "world dir instead of rebuilding (25 min on CPU)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -98,17 +104,21 @@ def main():
     idx = FMIndex.load(fa + ".bwt")
     params = AlnParams()
 
-    t0 = time.time()
-    table = build_precalc_device(idx, from_fmindex(idx), params,
-                                 k=PRECALC_LEN)
-    t_build = time.time() - t0
-    print(f"device k=12 build: {t_build:.1f}s "
-          f"({len(table)} entries, {table.L.shape[0]} intervals)", flush=True)
-
     mine = fa + ".pre"
-    t0 = time.time()
-    store_pre(mine, table)
-    print(f"store_pre: {time.time()-t0:.1f}s", flush=True)
+    if args.skip_build and os.path.exists(mine):
+        print(f"--skip-build: reusing {mine}", flush=True)
+    else:
+        t0 = time.time()
+        table = build_precalc_device(idx, from_fmindex(idx), params,
+                                     k=PRECALC_LEN)
+        t_build = time.time() - t0
+        print(f"device k=12 build: {t_build:.1f}s "
+              f"({len(table)} entries, {table.L.shape[0]} intervals)",
+              flush=True)
+
+        t0 = time.time()
+        store_pre(mine, table)
+        print(f"store_pre: {time.time()-t0:.1f}s", flush=True)
 
     ref_pre = os.path.join(d, "oracle", "w.fa.pre")
     a = open(mine, "rb").read()
@@ -121,12 +131,14 @@ def main():
     t0 = time.time()
     back = load_pre(mine)
     print(f"load_pre: {time.time()-t0:.1f}s", flush=True)
-    assert np.array_equal(back.cnt, table.cnt)
+    if not args.skip_build:
+        assert np.array_equal(back.cnt, table.cnt)
 
     # -P align through our CLI vs the oracle's .aln
     from bwbble_tpu.cli import main as cli_main
     my_aln = os.path.join(d, "mine.aln")
-    rc = cli_main(["align", "-P", fa, os.path.join(d, "w.fq"), my_aln])
+    rc = cli_main(["align", "-n", "2", "-P", fa, os.path.join(d, "w.fq"),
+                   my_aln])
     if rc not in (0, None):
         print(f"align CLI failed rc={rc}")
         return 1
