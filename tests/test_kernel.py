@@ -107,6 +107,30 @@ def test_kernel_matches_xla_body(world):
                                       p_got[:len(lanes_l)])
 
 
+def test_kernel_deep_tier_matches_xla_body(world):
+    """Escalation-ladder tier shape (kx=8, acap=64 — pipeline.py ladder):
+    the kernel's rank-row stream carries 2+2*kx rows and the nxt
+    feed-forward must be padded past them (kernel.py NXW); a fixed-width
+    nxt underflows the row stream at kx=8 (the r2 chr21 bench crash)."""
+    idx, didx, reads = world
+    params = AlnParams(max_diff=3, batch_size=128)
+    cfg = EngineConfig(cap=8192, acap=64, kx=8, max_iters=20_000,
+                       backend="xla")
+    ref = _run(didx, reads, params, cfg, idx)
+
+    PK.INTERPRET = True
+    try:
+        got = _run(didx, reads, params,
+                   dataclasses.replace(cfg, backend="pallas"), idx)
+    finally:
+        PK.INTERPRET = False
+
+    for k in ("n_alns", "o_L", "o_U", "o_score", "o_len", "o_node",
+              "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
+              "iters", "n_pushed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+
 def test_kernel_queued_matches_xla_body(world):
     """Queue mode (ring arena + flush/refill + flush-time path walks)
     through the Pallas kernel must reproduce the XLA queue loop exactly."""
