@@ -250,7 +250,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                        first_cap: int | None = None,
                        queued: bool = False, qchunk: int = 2,
                        mesh=None,
-                       deep_tiers: bool | None = None) -> list[list[Aln]]:
+                       deep_tiers: bool | None = None,
+                       gold_overlap: bool | None = None) -> list[list[Aln]]:
     """Align all reads on the device; returns per-read alignment lists in
     the reference's discovery order (byte-parity with align_reads_inexact).
 
@@ -264,6 +265,13 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     `deep_tiers`: force the narrow-lane escalation ladder on/off (None =>
     auto: off when the native gold engine is available, which currently
     beats the deep tiers on the heavy tail).
+    `gold_overlap`: run the host gold fallback CONCURRENTLY with the
+    device tiers (a forked worker pool chews overflowing reads while the
+    host thread waits on device launches).  None => auto: on when the
+    native gold engine is available and the read set spans multiple
+    batches.  Measured on the chr21 world the native gold engine runs
+    1-40 ms/read across the whole difficulty spectrum, so overlapping it
+    with device compute hides most of the tail's cost.
     """
     cfg = cfg or EngineConfig()
     if not device_params_ok(params, max(reads.max_len, 1)):
@@ -294,10 +302,12 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     counters = {"fallback_reads": 0, "retried_reads": 0}
     results: list = [None] * reads.count
 
-    def run_tier(sel_all: np.ndarray, tier_cfg: EngineConfig, tier_B: int
-                 ) -> list[int]:
+    def run_tier(sel_all: np.ndarray, tier_cfg: EngineConfig, tier_B: int,
+                 on_failed=None) -> list[int]:
         """Process reads[sel_all] with tier_cfg; fill `results` for resolved
-        reads, return the original indices that overflowed."""
+        reads, return the original indices that overflowed.  `on_failed`
+        (streaming gold overlap): called with each launch's overflow list
+        as soon as it is known, while later launches still run."""
         failed: list[int] = []
 
         def dispatch(start: int):
@@ -370,10 +380,11 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     paths_rev[key] = pr[w]
 
             sel = h["sel"]
+            launch_failed: list[int] = []
             for b in range(h["nb"]):
                 orig = int(sel[b])
                 if overflow[b]:
-                    failed.append(orig)
+                    launch_failed.append(orig)
                     continue
                 alns = []
                 for k in range(int(n_alns[b])):
@@ -390,6 +401,9 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                         num_snps=int(o["o_snp"][b, k]) & 0xFF,
                         aln_length=out_len, path=path))
                 results[orig] = alns
+            failed.extend(launch_failed)
+            if on_failed is not None and launch_failed:
+                on_failed(launch_failed)
 
         # every in-flight batch holds a full arena (~cap*B*22 bytes); cap
         # the dispatch window so total arena footprint stays under HBM
@@ -422,6 +436,31 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         z = difficulty_scores(didx, reads, params, D_all=D_all)
         order = order[np.argsort(z[order], kind="stable")]
 
+    # Overlapped gold fallback: fork a host worker pool that gold-aligns
+    # overflowing reads WHILE the device runs later launches (the host
+    # thread is mostly blocked on device results, so the worker gets the
+    # core).  Hardest-first tier order surfaces the overflow early.
+    pool: _GoldPool | None = None
+    if gold_overlap is None:
+        from bwbble_tpu.native import get_native
+        _nat0 = get_native()
+        gold_overlap = (params.is_multiref and _nat0 is not None
+                        and getattr(_nat0, "_has_gold", False)
+                        and mesh is None and reads.count > B)
+    if gold_overlap:
+        try:
+            pool = _GoldPool(idx, reads, params, precalc,
+                             n_workers=max(1, int(params.n_threads)))
+        except Exception:
+            pool = None
+    if pool is not None:
+        deep_tiers = False
+        if sort_reads:
+            order = order[::-1]
+        dov_sel = np.flatnonzero(dov_all)
+        if dov_sel.size:
+            pool.submit(dov_sel)
+
     # Escalation ladder: a launch of I iterations can host any read whose
     # total work (pops + exact chars) is <= NFRAME ~= cap/NSLOT, so a read's
     # on-device work budget rises as the lane count shrinks at constant
@@ -449,13 +488,14 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                  and str(didx.idt) != "int64"
                  and _jax.default_backend() == "tpu")
     if deep_tiers is None:
-        if pallas_on:
-            deep_tiers = True
-        else:
-            from bwbble_tpu.native import get_native
-            _nat = get_native()
-            deep_tiers = not (params.is_multiref and _nat is not None
-                              and getattr(_nat, "_has_gold", False))
+        # measured on the chr21 world (round 2): the deep tiers burned
+        # 212 s resolving ~1,000 reads that native gold handles at
+        # 1-40 ms each, so they are only worth it WITHOUT the native
+        # library (they still beat Python gold by ~20x)
+        from bwbble_tpu.native import get_native
+        _nat = get_native()
+        deep_tiers = not (params.is_multiref and _nat is not None
+                          and getattr(_nat, "_has_gold", False))
     cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
     ladder = ((1024, 8), (256, 8), (128, 16)) if pallas_on \
         else ((1024, 8), (256, 8), (64, 16))
@@ -470,29 +510,47 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     import time as _time
     tier_log: list[dict] = []
     sel = order
-    for t, (tier_B_max, tier_cfg) in enumerate(tiers):
-        if sel.shape[0] == 0:
-            break
-        if t > 0:
-            counters["retried_reads"] += sel.shape[0]
-        t0 = _time.time()
-        failed = run_tier(sel, tier_cfg,
-                          min(tier_B_max, _pow2_at_least(sel.shape[0],
-                                                         lo=128)))
-        tier_log.append(dict(B=int(min(tier_B_max, _pow2_at_least(
-            sel.shape[0], lo=128))), cap=int(tier_cfg.cap),
-            reads=int(sel.shape[0]), failed=len(set(failed)),
-            sec=round(_time.time() - t0, 2)))
-        sel = np.array(sorted(set(failed)), dtype=np.int64)
-    counters["tiers"] = tier_log
+    try:
+        for t, (tier_B_max, tier_cfg) in enumerate(tiers):
+            if sel.shape[0] == 0:
+                break
+            if t > 0:
+                counters["retried_reads"] += sel.shape[0]
+            t0 = _time.time()
+            stream = (pool.submit if pool is not None
+                      and t == len(tiers) - 1 else None)
+            failed = run_tier(sel, tier_cfg,
+                              min(tier_B_max, _pow2_at_least(sel.shape[0],
+                                                             lo=128)),
+                              on_failed=stream)
+            tier_log.append(dict(B=int(min(tier_B_max, _pow2_at_least(
+                sel.shape[0], lo=128))), cap=int(tier_cfg.cap),
+                reads=int(sel.shape[0]), failed=len(set(failed)),
+                sec=round(_time.time() - t0, 2)))
+            sel = np.array(sorted(set(failed)), dtype=np.int64)
+        counters["tiers"] = tier_log
 
-    sel = np.concatenate([sel, np.flatnonzero(dov_all).astype(np.int64)])
-    if sel.size:
-        counters["fallback_reads"] += int(sel.size)
-        for orig, alns in gold_fallback_many(
-                idx, reads, [int(i) for i in sel], params, precalc,
-                int(params.n_threads)).items():
-            results[orig] = alns
+        if pool is not None:
+            # overflow (streamed per launch) and D-overflow reads were
+            # already submitted; just wait for the workers
+            counters["fallback_reads"] += pool.submitted
+            t0 = _time.time()
+            for orig, alns in pool.drain().items():
+                results[orig] = alns
+            counters["t_host"] = round(_time.time() - t0, 2)
+            pool = None
+        else:
+            sel = np.concatenate([sel,
+                                  np.flatnonzero(dov_all).astype(np.int64)])
+            if sel.size:
+                counters["fallback_reads"] += int(sel.size)
+                for orig, alns in gold_fallback_many(
+                        idx, reads, [int(i) for i in sel], params, precalc,
+                        int(params.n_threads)).items():
+                    results[orig] = alns
+    finally:
+        if pool is not None:
+            pool.terminate()
 
     if stats is not None:
         stats.update(counters)
@@ -511,6 +569,50 @@ def _fb_worker(i: int):
     return align_read_gold(c["idx"], c["reads"].seq[i], c["reads"].rc[i],
                            int(c["reads"].lengths[i]), c["params"],
                            precalc=c["precalc"])
+
+
+class _GoldPool:
+    """Forked host-gold worker pool that runs concurrently with device
+    launches.  The pool is forked ONCE (heavy state — index, bit planes,
+    reads — reaches workers by copy-on-write); later submissions only
+    ship read indices.  Workers touch nothing but numpy + the native
+    library, so forking under a live JAX client is safe."""
+
+    def __init__(self, idx, reads: Reads, params: AlnParams, precalc,
+                 n_workers: int = 1):
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")      # raises on fork-less platforms
+        if params.is_multiref:
+            idx.bit_planes()              # materialize BEFORE the fork
+        _FB_CTX.update(idx=idx, reads=reads, params=params, precalc=precalc)
+        try:
+            self._pool = ctx.Pool(max(1, int(n_workers)))
+        finally:
+            _FB_CTX.clear()
+        self._async: list = []
+        self.submitted = 0
+
+    def submit(self, sel) -> None:
+        sel = [int(i) for i in sel]
+        if not sel:
+            return
+        self.submitted += len(sel)
+        self._async.append((sel, self._pool.map_async(
+            _fb_worker, sel, chunksize=max(1, len(sel) // 8))))
+
+    def drain(self) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for sel, ar in self._async:
+            for i, alns in zip(sel, ar.get()):
+                out[i] = alns
+        self._async = []
+        self._pool.close()
+        self._pool.join()
+        return out
+
+    def terminate(self) -> None:
+        self._pool.terminate()
+        self._pool.join()
 
 
 def gold_fallback_many(idx, reads: Reads, sel: list[int], params: AlnParams,

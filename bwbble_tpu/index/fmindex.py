@@ -150,12 +150,12 @@ class FMIndex:
             nwords = -(-n // 64)
             pad = np.zeros(nwords * 64, dtype=np.uint8)
             pad[:n] = self.bwt
-            bits = pad.reshape(nwords, 64).astype(np.uint64)
-            w = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
             planes = np.zeros((4, nwords), dtype=np.uint64)
             for t in range(4):
-                planes[t] = (((bits >> np.uint64(t)) & np.uint64(1)) * w
-                             ).sum(axis=1, dtype=np.uint64)
+                # little-endian packbits + little-endian u8 view puts bit
+                # p%64 of word p//64 at position p — no 64x blow-up
+                planes[t] = np.packbits((pad >> t) & 1,
+                                        bitorder="little").view("<u8")
             object.__setattr__(self, "_planes", planes)
         return self._planes
 

@@ -77,3 +77,23 @@ def test_native_calc_d_matches_gold(small_world):
                                    idx.sa0, C.OCC_INTERVAL, nb,
                                    reads.seq[r], L)
         assert np.array_equal(gold, natd)
+
+
+def test_gold_overlap_pool_matches_gold(small_world):
+    """Overlapped gold fallback (forked worker pool running concurrently
+    with the device tiers) must produce byte-identical results, with the
+    overflow streamed per launch instead of drained at the end."""
+    idx = small_world["idx"]
+    didx = from_fmindex(idx)
+    reads = small_world["reads"]
+    params = AlnParams(max_diff=2, batch_size=32)
+    cfg = EngineConfig(cap=1024, acap=1, kx=1, max_iters=50_000)
+
+    stats: dict = {}
+    dev = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
+                             stats=stats, gold_overlap=True,
+                             deep_tiers=False)
+    gold = align_reads_gold(idx, reads, params)
+    assert stats["fallback_reads"] > 0
+    assert "t_host" in stats
+    assert dev == gold
