@@ -161,12 +161,21 @@ def main():
     t_build = time.time() - t0
 
     import jax
+    # NOTE: jax_compilation_cache_dir was tried here and produced wrong
+    # numerics on the experimental axon backend (every read flagged
+    # D-overflow); do not re-enable without a parity check.
     from bwbble_tpu.align.params import AlnParams
     from bwbble_tpu.engine.device_index import from_fmindex
     from bwbble_tpu.engine.inexact import EngineConfig
     from bwbble_tpu.engine.pipeline import align_reads_device
 
+    def _ph(msg):
+        sys.stderr.write(f"[bench +{time.time()-t0:.1f}s] {msg}\n")
+        sys.stderr.flush()
+
+    _ph(f"world ready ({t_build:.1f}s)")
     didx = from_fmindex(idx)
+    _ph("device index uploaded")
     if easy:
         params = AlnParams(max_diff=4, batch_size=8192)
         cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
@@ -191,12 +200,20 @@ def main():
     # warm-up: one full pass compiles every shape
     align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
                        queued=queued)
+    _ph("warm-up done")
 
+    import resource
     stats: dict = {}
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
+    c0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t1 = time.time()
     alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
                               stats=stats, queued=queued)
     dt = time.time() - t1
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
+    c1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu_main = (r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)
+    cpu_gold = (c1.ru_utime + c1.ru_stime) - (c0.ru_utime + c0.ru_stime)
     reads_per_sec = reads.count / dt
 
     n_aligned = sum(1 for a in alns if a)
@@ -212,6 +229,8 @@ def main():
         f"t_dbounds={stats.get('t_dbounds', 0):.2f}s "
         f"t_search={stats.get('t_search', 0):.2f}s "
         f"t_host={stats.get('t_host', 0):.2f}s "
+        f"cpu_main={cpu_main:.1f}s cpu_gold={cpu_gold:.1f}s "
+        f"prerouted={stats.get('prerouted', 0)} "
         f"tiers={stats.get('tiers', [])}\n")
     print(json.dumps({
         "metric": ("inexact_align_throughput_easy" if easy else

@@ -78,14 +78,18 @@ class DeviceIndex:
 
 
 def build_planes(blocks: np.ndarray) -> np.ndarray:
-    """Pack int8 code blocks [NB, 128] into bit planes [NB, 16] int32."""
+    """Pack int8 code blocks [NB, 128] into bit planes [NB, 16] int32.
+
+    packbits(bitorder='little') + a <u4 view puts bit position p%32 of
+    word p//32 exactly where the kernel expects it; the broadcasted
+    multiply-sum formulation this replaces was ~600x slower (~12 min at
+    chr21 scale — it dominated device-index construction)."""
     nb = blocks.shape[0]
-    codes = blocks.astype(np.uint32).reshape(nb, 4, 32)   # [NB, word, bit pos]
-    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, None, :]
+    u = blocks.view(np.uint8)
     planes = np.zeros((nb, 4, 4), dtype=np.uint32)        # [NB, bit t, word w]
     for t in range(4):
-        bit = (codes >> np.uint32(t)) & np.uint32(1)
-        planes[:, t, :] = (bit * weights).sum(axis=2, dtype=np.uint32)
+        planes[:, t, :] = np.packbits((u >> t) & 1, axis=1,
+                                      bitorder="little").view("<u4")
     return planes.reshape(nb, 16).view(np.int32)
 
 
