@@ -35,6 +35,8 @@ def main():
     cap = arg("--cap", 2097152)
     acap = arg("--acap", 64)
     kx = arg("--kx", 16)
+    skip = arg("--skip", 0)          # exclude the hardest `skip` reads
+    max_iters = arg("--max-iters", 500_000)
     backend = "xla" if "--xla" in sys.argv else "auto"
     run_all = "--all" in sys.argv
 
@@ -58,12 +60,14 @@ def main():
                                     d_cap=64, host_idx=idx)
     z = difficulty_scores(didx, reads, params, D_all=D_all)
     order = np.argsort(z, kind="stable")
+    if skip:
+        order = order[:-skip]
     hard = order[::-1] if run_all else order[-N:]
     N = hard.size
     print(f"dbounds {time.time() - t0:.1f}s; hardest {N} reads; "
           f"difficulty z range [{z[hard[0]]}, {z[hard[-1]]}]")
 
-    cfg = EngineConfig(cap=cap, acap=acap, kx=kx, max_iters=500_000,
+    cfg = EngineConfig(cap=cap, acap=acap, kx=kx, max_iters=max_iters,
                        backend=backend)
     NSLOT = 23
     NFRAME = (cap - 1) // NSLOT - 1

@@ -92,7 +92,9 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     `on_chunk(global_idx, z)`: called after each chunk with the chunk's
     read indices and difficulty scores (same formula as
     difficulty_scores) — lets the caller start routing work (e.g. the
-    overlapped gold pool) while later chunks still run.
+    overlapped gold pool) while later chunks still run.  May return the
+    indices it routed away; routed reads are skipped by the exact native
+    scan (the gold engine recomputes D itself).
 
     The reference recomputes these per read with unbounded linked lists
     (calculate_d, inexact_match.c:171-254); a narrow fixed-capacity sweep
@@ -106,6 +108,12 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     # intervals on EVERY read, so a tiny first pass is pure waste — probe
     # one chunk at k_fast and escalate the DEFAULT width if it overflows
     K1 = min(k_fast, d_cap) if params.is_multiref else d_cap
+    nat_ok = False
+    if params.is_multiref and host_idx is not None and mesh is None:
+        from bwbble_tpu.native import get_native
+        _natp = get_native()
+        nat_ok = (_natp is not None and getattr(_natp, "_has_calc_d", False)
+                  and host_idx.length == int(didx.length))
     if params.is_multiref and NR > 0 and d_cap > K1:
         sq = np.zeros((min(256, batch), Lmax), dtype=np.int8)
         nbp = min(256, NR, sq.shape[0])
@@ -121,6 +129,18 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
                                               jnp.asarray(lnp), params, K1)
         if np.asarray(dovp)[:nbp].mean() > 0.5:
             K1 = d_cap
+            # second probe at d_cap: when the interval lists overflow even
+            # d_cap slots on ~every read (IUPAC-dense multi-genomes carry
+            # hundreds of disjoint intervals in the scan's wide phase), the
+            # whole K=d_cap device pass (~1 s per 1024-read chunk) would be
+            # discarded wholesale for the native scanner — skip it up front
+            if nat_ok:
+                _, _, dovp2 = _calc_d_chunk(didx, jnp.asarray(sq),
+                                            jnp.asarray(lnp), lnp, params,
+                                            d_cap)
+                if np.asarray(dovp2)[:nbp].mean() > 0.9:
+                    return _calc_d_native_all(didx, host_idx, reads, params,
+                                              batch, on_chunk)
     if mesh is not None:
         from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
 
@@ -206,6 +226,58 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
                 Ds_all = Ds_all.at[sidx].set(jnp.asarray(Dsp))
                 dov_all[still] = False
     return D_all, Ds_all, dov_all
+
+
+def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
+                       params: AlnParams, batch: int, on_chunk=None):
+    """Exact D/D_seed bounds for every read from the native unbounded-list
+    scanner (the reference's calculate_d semantics at any interval-list
+    width, inexact_match.c:171-254), chunked so `on_chunk` can route the
+    hardest reads to the gold pool while later chunks still scan.
+
+    The difficulty proxy comes from the EXACT scanned widths — a clipped
+    device pass (K=8) was tried as the routing signal and underestimated
+    the hardest reads badly enough that one mis-routed read serialized a
+    whole primary-tier launch for 325 s (exact-completion chars share the
+    lockstep iteration clock with pops)."""
+    from bwbble_tpu import constants as CN
+    from bwbble_tpu.native import get_native
+    nat = get_native()
+    NR = reads.count
+    Lmax = max(reads.max_len, 1)
+    seed_len = int(params.seed_length)
+    np_dt = np.int64 if str(didx.idt) == "int64" else np.int32
+    _tr("calc_d_all: device pass skipped (d_cap probe overflow); "
+        "native exact scan")
+
+    nb_tab = np.ascontiguousarray(CN.NUCL_BASES, dtype=np.uint8)
+    planes = host_idx.bit_planes()
+    D_np = np.zeros((NR, Lmax + 1, 2), dtype=np_dt)
+    Ds_np = np.zeros((NR, max(seed_len, 1) + 1, 2), dtype=np_dt)
+    _t0 = _tm.monotonic()
+    for s in range(0, NR, batch):
+        e = min(s + batch, NR)
+        for r in range(s, e):
+            ln_r = int(reads.lengths[r])
+            dr = nat.calc_d_multiref(
+                planes, host_idx.occ, host_idx.Carr, host_idx.length,
+                host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r], ln_r)
+            D_np[r, :ln_r + 1] = dr
+            if ln_r > seed_len and seed_len > 0:
+                ds = nat.calc_d_multiref(
+                    planes, host_idx.occ, host_idx.Carr, host_idx.length,
+                    host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r],
+                    seed_len)
+                Ds_np[r, :seed_len + 1] = ds
+        if on_chunk is not None:
+            zc = (-64.0 * np.sum(
+                np.log2(1.0 + D_np[s:e, :, 1].astype(np.float64)), axis=1)
+                ).astype(np.int64)
+            on_chunk(np.arange(s, e, dtype=np.int64), zc)
+    _tr(f"calc_d_all: native exact scan {NR} reads "
+        f"({_tm.monotonic() - _t0:.2f}s)")
+    return (jnp.asarray(D_np), jnp.asarray(Ds_np),
+            np.zeros(NR, dtype=bool))
 
 
 def difficulty_scores(didx: DeviceIndex, reads: Reads, params: AlnParams,
@@ -465,14 +537,15 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     routed = np.zeros(reads.count, dtype=bool)
     route_frac = 0.25 if (pool is not None and sort_reads) else 0.0
 
-    def _route_chunk(gi: np.ndarray, zc: np.ndarray) -> None:
+    def _route_chunk(gi: np.ndarray, zc: np.ndarray):
         k = int(gi.size * route_frac)
         if k <= 0 or gi.size < 64:
-            return
+            return None
         thr = np.partition(zc, -k)[-k]
         sel = gi[zc >= thr]
         routed[sel] = True
         pool.submit(sel)
+        return sel
 
     import time as _time0
     _t_d = _time0.time()
@@ -487,8 +560,22 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         z = difficulty_scores(didx, reads, params, D_all=D_all)
         order = order[np.argsort(z[order], kind="stable")]
 
+    import jax as _jax
+    pallas_on = (cfg.backend != "xla" and params.is_multiref
+                 and mesh is None and precalc is None
+                 and str(didx.idt) != "int64"
+                 and _jax.default_backend() == "tpu")
     if pool is not None:
-        deep_tiers = False
+        if deep_tiers is None:
+            # measured (chr21 world, real chip): the heavy tail is SERIAL-
+            # iteration-bound — a hard read needs ~10^5 serial iterations
+            # (pops + exact-completion chars share the lockstep clock), so
+            # even the Pallas body's 14 us/iteration at B=128 gives
+            # ~195 ms/read vs native gold's ~8 ms/read (0.9 us/pop with no
+            # lockstep latency).  Deep tiers lose to gold at ANY lane
+            # count until the engine can pop multiple nodes of one read
+            # per iteration; keep the tail on the host pool.
+            deep_tiers = False
         if sort_reads:
             order = order[::-1]
         dov_sel = np.flatnonzero(dov_all & ~routed)
@@ -516,16 +603,12 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     #   tail than native gold, so with the native library present hard
     #   reads go straight to gold; the tiers remain for environments
     #   without it (they still beat Python gold by ~20x).
-    import jax as _jax
-    pallas_on = (cfg.backend != "xla" and params.is_multiref
-                 and mesh is None and precalc is None
-                 and str(didx.idt) != "int64"
-                 and _jax.default_backend() == "tpu")
     if deep_tiers is None:
         # measured on the chr21 world (round 2): the deep tiers burned
-        # 212 s resolving ~1,000 reads that native gold handles at
-        # 1-40 ms each, so they are only worth it WITHOUT the native
-        # library (they still beat Python gold by ~20x)
+        # 212 s (XLA body) / 154 s (Pallas body) resolving reads that
+        # native gold handles at 1-40 ms each — the tail is serial-
+        # iteration-bound (see above) — so they are only worth it WITHOUT
+        # the native library (they still beat Python gold by ~20x)
         from bwbble_tpu.native import get_native
         _nat = get_native()
         deep_tiers = not (params.is_multiref and _nat is not None
