@@ -70,7 +70,8 @@ def align_read_gold(idx: FMIndex, seq: np.ndarray, rc: np.ndarray,
                 params.num_score_buckets], dtype=np.int64)
             out = nat.gold_align_multiref(
                 idx.bit_planes(), idx.occ, idx.Carr, idx.length, idx.sa0,
-                C.OCC_INTERVAL, _gold_tables(), pp, seq, rc, length)
+                C.OCC_INTERVAL, _gold_tables(), pp, seq, rc, length,
+                fused=idx.fused_planes())
             if out is not None:
                 meta, paths = out
                 return [G.Aln(score=int(m[0]), L=int(m[1]), U=int(m[2]),

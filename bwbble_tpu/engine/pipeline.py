@@ -204,6 +204,7 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
             nb = np.ascontiguousarray(CN.NUCL_BASES, dtype=np.uint8)
             if host_idx is not None and host_idx.length == int(didx.length):
                 planes = host_idx.bit_planes()
+                fused = host_idx.fused_planes()
                 seed_len = int(params.seed_length)
                 np_dt = np.dtype(str(D_all.dtype))
                 Dp = np.zeros((still.size,) + D_all.shape[1:], dtype=np_dt)
@@ -213,13 +214,13 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
                     dr = nat.calc_d_multiref(
                         planes, host_idx.occ, host_idx.Carr,
                         host_idx.length, host_idx.sa0, CN.OCC_INTERVAL, nb,
-                        reads.seq[r], ln_r)
+                        reads.seq[r], ln_r, fused=fused)
                     Dp[t, :ln_r + 1] = dr
                     if ln_r > seed_len and seed_len > 0:
                         ds = nat.calc_d_multiref(
                             planes, host_idx.occ, host_idx.Carr,
                             host_idx.length, host_idx.sa0, CN.OCC_INTERVAL,
-                            nb, reads.seq[r], seed_len)
+                            nb, reads.seq[r], seed_len, fused=fused)
                         Dsp[t, :seed_len + 1] = ds
                 sidx = jnp.asarray(still.astype(np.int32))
                 D_all = D_all.at[sidx].set(jnp.asarray(Dp))
@@ -252,6 +253,7 @@ def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
 
     nb_tab = np.ascontiguousarray(CN.NUCL_BASES, dtype=np.uint8)
     planes = host_idx.bit_planes()
+    fused = host_idx.fused_planes()
     D_np = np.zeros((NR, Lmax + 1, 2), dtype=np_dt)
     Ds_np = np.zeros((NR, max(seed_len, 1) + 1, 2), dtype=np_dt)
     _t0 = _tm.monotonic()
@@ -261,13 +263,14 @@ def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
             ln_r = int(reads.lengths[r])
             dr = nat.calc_d_multiref(
                 planes, host_idx.occ, host_idx.Carr, host_idx.length,
-                host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r], ln_r)
+                host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r], ln_r,
+                fused=fused)
             D_np[r, :ln_r + 1] = dr
             if ln_r > seed_len and seed_len > 0:
                 ds = nat.calc_d_multiref(
                     planes, host_idx.occ, host_idx.Carr, host_idx.length,
                     host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r],
-                    seed_len)
+                    seed_len, fused=fused)
                 Ds_np[r, :seed_len + 1] = ds
         if on_chunk is not None:
             zc = (-64.0 * np.sum(
@@ -701,6 +704,7 @@ class _GoldPool:
         ctx = mp.get_context("fork")      # raises on fork-less platforms
         if params.is_multiref:
             idx.bit_planes()              # materialize BEFORE the fork
+            idx.fused_planes()            # (copy-on-write shares both)
         _FB_CTX.update(idx=idx, reads=reads, params=params, precalc=precalc)
         try:
             self._pool = ctx.Pool(max(1, int(n_workers)))

@@ -38,6 +38,8 @@ class FMIndex:
     sa: np.ndarray       # int64 [num_sa] samples every SA_INTERVAL
     _planes: np.ndarray | None = dataclasses.field(
         default=None, repr=False, compare=False)
+    _fused: np.ndarray | None = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     # ------------------------------------------------------------------ build
 
@@ -160,6 +162,30 @@ class FMIndex:
                                         bitorder="little").view("<u8")
             object.__setattr__(self, "_planes", planes)
         return self._planes
+
+    def fused_planes(self) -> np.ndarray | None:
+        """uint64 [num_occ, 16] fused rank rows for the native engines:
+        row k = the 8 plane words covering block k's 128 positions
+        (p-major: p0w0,p0w1,p1w0,...) followed by occ[k, 0..15] packed as
+        uint32 pairs.  One rank query touches one 128-byte row instead of
+        ~5 scattered cache lines (4 plane words + a 128-byte row of the
+        [num_occ,16] int64 occ table) — the native DFS is DRAM-latency-
+        bound, not compute-bound.  None when counts exceed uint32 (large
+        int64 indexes keep the split-table path)."""
+        if self.length >= (1 << 31):
+            return None
+        if self._fused is None:
+            planes = self.bit_planes()
+            nb = self.occ.shape[0]
+            pw = np.zeros((4, 2 * nb), dtype=np.uint64)
+            pw[:, :planes.shape[1]] = planes
+            fused = np.empty((nb, 16), dtype=np.uint64)
+            fused[:, 0:8] = pw.reshape(4, nb, 2).transpose(1, 0, 2) \
+                              .reshape(nb, 8)
+            fused[:, 8:16] = np.ascontiguousarray(
+                self.occ.astype("<u4")).view("<u8")
+            object.__setattr__(self, "_fused", fused)
+        return self._fused
 
     def O(self, c: int, i: int) -> int:
         """Rank of char c at position i (O, bwt.c:348-372)."""

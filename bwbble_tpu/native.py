@@ -57,6 +57,20 @@ class _Native:
                 ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
             lib.bwbble_calc_d_multiref.restype = ctypes.c_int
+        # fused-rank-row variants (one 128-byte row per block replaces ~5
+        # scattered cache lines per rank query; FMIndex.fused_planes)
+        self._has_fused = (self._has_gold and self._has_calc_d
+                           and hasattr(lib, "bwbble_gold_align_multiref_f")
+                           and hasattr(lib, "bwbble_calc_d_multiref_f"))
+        if self._has_fused:
+            lib.bwbble_gold_align_multiref_f.argtypes = (
+                list(lib.bwbble_gold_align_multiref.argtypes)
+                + [ctypes.POINTER(ctypes.c_uint64)])
+            lib.bwbble_gold_align_multiref_f.restype = ctypes.c_int64
+            lib.bwbble_calc_d_multiref_f.argtypes = (
+                list(lib.bwbble_calc_d_multiref.argtypes)
+                + [ctypes.POINTER(ctypes.c_uint64)])
+            lib.bwbble_calc_d_multiref_f.restype = ctypes.c_int
         self._lib = lib
         lib.bwbble_sais_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -117,15 +131,19 @@ class _Native:
     def calc_d_multiref(self, planes: np.ndarray, occ: np.ndarray,
                         Carr: np.ndarray, length: int, sa0: int,
                         interval: int, nucl_bases: np.ndarray,
-                        read: np.ndarray, read_len: int) -> np.ndarray | None:
+                        read: np.ndarray, read_len: int,
+                        fused: np.ndarray | None = None
+                        ) -> np.ndarray | None:
         """Unbounded-interval-list D bounds for one read (the reference's
         calculate_d, inexact_match.c:171-254); None if the library predates
-        the function.  planes: uint64 [4, nwords] BWT bit planes."""
+        the function.  planes: uint64 [4, nwords] BWT bit planes; fused:
+        optional FMIndex.fused_planes() rank rows (same results, ~fewer
+        cache misses per rank query)."""
         if not self._has_calc_d:
             return None
         D = np.zeros((read_len + 1, 2), dtype=np.int64)
         read = np.ascontiguousarray(read[:read_len], dtype=np.int8)
-        rc = self._lib.bwbble_calc_d_multiref(
+        args = [
             planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ctypes.c_int64(planes.shape[1]),
             occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -136,18 +154,25 @@ class _Native:
             ctypes.c_int(nucl_bases.shape[1]),
             read.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_int64(read_len),
-            D.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            D.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))]
+        if fused is not None and self._has_fused:
+            rc = self._lib.bwbble_calc_d_multiref_f(
+                *args,
+                fused.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        else:
+            rc = self._lib.bwbble_calc_d_multiref(*args)
         if rc != 0:
             raise RuntimeError(f"native calc_d failed with code {rc}")
         return D
 
     def gold_align_multiref(self, planes, occ, Carr, length, sa0, interval,
                             tables, pp, seq, rc, read_len, cap=4096,
-                            stats: dict | None = None):
+                            stats: dict | None = None, fused=None):
         """Native bounded DFS for one read (the gold engine's
         inexact_match); returns (meta int64 [n,8], paths uint8 [n,256]) or
         None when unsupported / capacity exceeded (caller falls back to
-        the Python gold engine)."""
+        the Python gold engine).  fused: optional FMIndex.fused_planes()
+        rank rows (same results, fewer cache misses per rank query)."""
         if not self._has_gold:
             return None
         meta = np.zeros((cap, 8), dtype=np.int64)
@@ -155,7 +180,7 @@ class _Native:
         pops = np.zeros(1, dtype=np.int64)
         seq = np.ascontiguousarray(seq[:read_len], dtype=np.int8)
         rc = np.ascontiguousarray(rc[:read_len], dtype=np.int8)
-        n = self._lib.bwbble_gold_align_multiref(
+        args = [
             planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ctypes.c_int64(planes.shape[1]),
             occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -169,7 +194,13 @@ class _Native:
             ctypes.c_int64(read_len), ctypes.c_int64(cap),
             meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             paths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))]
+        if fused is not None and self._has_fused:
+            n = self._lib.bwbble_gold_align_multiref_f(
+                *args,
+                fused.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        else:
+            n = self._lib.bwbble_gold_align_multiref(*args)
         if stats is not None:
             stats["pops"] = int(pops[0])
         if n < 0:

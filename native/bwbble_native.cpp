@@ -300,6 +300,38 @@ struct DIdx {
   const int64_t* occ;      // [nb, 16] checkpoint counts (sentinel-skipped)
   const int64_t* Carr;     // [17]
   int64_t length, sa0, interval;
+  // optional fused layout (interval == 128 only): one 128-byte row per
+  // 128-position block = [p0w0,p0w1,p1w0,p1w1,p2w0,p2w1,p3w0,p3w1,
+  // occ[0..15] as u32 pairs].  The rank walk is DRAM-latency-bound (the
+  // separate [nb,16] occ table plus 4 scattered plane words cost ~5 cache
+  // misses per query); the fused row is 2 adjacent lines.  Built host-side
+  // (FMIndex.fused_planes), lengths < 2^31 only (u32 counters).
+  const uint64_t* fused = nullptr;
+
+  int64_t occ_f(int64_t k, int c) const {
+    return int64_t(uint32_t(fused[k * 16 + 8 + (c >> 1)] >> ((c & 1) * 32)));
+  }
+
+  // in-block counts of positions [k*128+1, k*128+li] for all 16 codes
+  // (li == 0 contributes nothing: the masks cancel)
+  void count_block16(int64_t k, int64_t li, int64_t cnts[16]) const {
+    const uint64_t* blk = fused + k * 16;
+    for (int w = 0; w <= int(li >> 6); ++w) {
+      uint64_t mask = ~uint64_t(0);
+      if (w == 0) mask &= ~uint64_t(1);
+      int hi = int(li - w * 64);
+      if (hi < 63) mask &= (uint64_t(1) << (hi + 1)) - 1;
+      uint64_t p0 = blk[0 + w], p1 = blk[2 + w], p2 = blk[4 + w],
+               p3 = blk[6 + w];
+      uint64_t s0[2] = {~p0 & mask, p0 & mask};
+      uint64_t s1[2] = {~p1, p1};
+      uint64_t s2[2] = {~p2, p2};
+      uint64_t s3[2] = {~p3, p3};
+      for (int c = 0; c < 16; ++c)
+        cnts[c] += __builtin_popcountll(s0[c & 1] & s1[(c >> 1) & 1] &
+                                        s2[(c >> 2) & 1] & s3[(c >> 3) & 1]);
+    }
+  }
 
   // #positions in [a, b] whose code equals c (a >= 0)
   int64_t count_range(int c, int64_t a, int64_t b) const {
@@ -340,6 +372,14 @@ struct DIdx {
     }
     if (i < 0) {
       for (int c = 0; c < 16; ++c) out[c] = 0;
+      return;
+    }
+    if (fused) {
+      int64_t k = i >> 7;
+      int64_t cnts[16] = {0};
+      count_block16(k, i & 127, cnts);
+      if ((k << 7) < sa0 && sa0 <= i) --cnts[0];  // bwt.c:363-369
+      for (int c = 0; c < 16; ++c) out[c] = occ_f(k, c) + cnts[c];
       return;
     }
     int64_t k = i / interval, base = k * interval;
@@ -458,13 +498,23 @@ namespace {
 
 constexpr int kPathCap = 256;  // reads are capped at 255 upstream (Q5)
 
+// State paths live in an append-only (parent, state) arena shared by all
+// entries of one read — a push records 8 bytes instead of copying the
+// parent's path (the reference and the first native port copied a 256-byte
+// path per push/pop, ~1 KB of pure memory traffic per expansion); paths
+// are reconstructed only for the handful of reported alignments.
+struct PathNode {
+  int32_t parent;  // arena id, -1 at the root
+  uint8_t state;
+};
+
 struct GEntry {
   int64_t L, U;
   int32_t i, mm, go, ge, state, snps, score;
-  int32_t path_len;
-  uint8_t path[kPathCap];
+  int32_t path_len;  // clamped at kPathCap (matches the reference's cap)
+  int32_t node;      // PathNode arena id, -1 at the root
   GEntry() {}  // intentionally uninitialized: every field is filled at the
-               // push site (a value-init would memset 304 B per push)
+               // push site
 };
 
 struct GoldHeap {
@@ -520,6 +570,20 @@ void o_alphabet(const DIdx& ix, const GoldTables& t, int64_t i, int64_t inc,
   }
   if (i < 0) {
     for (int j = 1; j < 16; ++j) out[j] = ix.Carr[j] + inc;
+    return;
+  }
+  if (ix.fused) {
+    int64_t k = i >> 7;
+    const uint64_t* blk = ix.fused + k * 16;
+    int first = 0;
+    for (int tt = 0; tt < 4; ++tt)
+      first |= int(blk[2 * tt] & 1) << tt;
+    int64_t cnts[16] = {0};
+    ix.count_block16(k, i & 127, cnts);
+    for (int j = 1; j < 16; ++j)
+      out[j] = t.skipped[j]
+                   ? ix.Carr[j] + inc - (first == j ? 1 : 0)
+                   : ix.Carr[j] + ix.occ_f(k, j) + cnts[j] + inc;
     return;
   }
   int64_t k = i / ix.interval, base = k * ix.interval;
@@ -610,6 +674,7 @@ struct GoldOut {
   int64_t cap, n = 0;
   int64_t* meta;     // [cap][8]: score,L,U,mm,go,ge,snps,len
   uint8_t* paths;    // [cap][kPathCap]
+  const std::vector<PathNode>* arena = nullptr;
   bool overflow = false;
 
   // record with the gap-dedup of add_alignment (align.c:271-298)
@@ -628,7 +693,17 @@ struct GoldOut {
     m[6] = e.snps; m[7] = aln_length;
     uint8_t* pp = paths + n * kPathCap;
     std::memset(pp, 0, kPathCap);
-    std::memcpy(pp, e.path, std::min<int64_t>(e.path_len, aln_length));
+    // reconstruct push-order states from the parent chain (deepest first);
+    // tmp bound: path depth <= read_len + total deletions << 512
+    uint8_t tmp[512];
+    int32_t depth = 0, nd = e.node;
+    while (nd >= 0 && depth < 512) {
+      tmp[depth++] = (*arena)[nd].state;
+      nd = (*arena)[nd].parent;
+    }
+    int64_t mlen = std::min<int64_t>(
+        std::min<int64_t>(e.path_len, aln_length), depth);
+    for (int64_t q = 0; q < mlen; ++q) pp[q] = tmp[depth - 1 - q];
     ++n;
   }
 };
@@ -644,16 +719,16 @@ extern "C" void bwbble_dbg_oalpha(
   o_alphabet(ix, t, i, inc, out16);
 }
 
-extern "C" int64_t bwbble_gold_align_multiref(
-    const uint64_t* planes, int64_t nwords, const int64_t* occ,
-    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+namespace {
+
+int64_t gold_align_impl(
+    const DIdx& ix,
     const uint8_t* tables /* nucl_bases 28 | gray_val 16 | nt4_gray_val 5 |
                              is_snp 16 | skipped 16 */,
     const int64_t* pp /* GoldParams fields in order */, const int8_t* seq,
     const int8_t* rc, int64_t read_len, int64_t cap, int64_t* out_meta,
     uint8_t* out_paths, int64_t* n_pops /* nullable diagnostics */) {
   if (read_len <= 0 || read_len > 255) return -2;
-  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval};
   GoldTables t{tables, tables + 28, tables + 44, tables + 49, tables + 65};
   GoldParams p;
   std::memcpy(&p, pp, sizeof(p));
@@ -676,12 +751,15 @@ extern "C" int64_t bwbble_gold_align_multiref(
     Ds.assign((p.seed_len + 1) * 2, 0);
   }
 
+  static thread_local std::vector<PathNode> arena;
+  arena.clear();
+  out.arena = &arena;
   GoldHeap heap(p.num_buckets);
   {
     GEntry& root = heap.emplace(0);
-    root.L = 0; root.U = length - 1; root.i = int32_t(read_len);
+    root.L = 0; root.U = ix.length - 1; root.i = int32_t(read_len);
     root.mm = 0; root.go = 0; root.ge = 0; root.snps = 0;
-    root.state = 0; root.path_len = 0; root.score = 0;
+    root.state = 0; root.path_len = 0; root.score = 0; root.node = -1;
   }
   int64_t best_score = p.score(p.max_diff + 1, p.max_gapo + 1,
                                p.max_gape + 1);
@@ -775,8 +853,8 @@ extern "C" int64_t bwbble_gold_align_multiref(
       c.state = state; c.snps = snps & 0xFF;
       c.score = score;
       c.path_len = std::min<int32_t>(e.path_len + 1, kPathCap);
-      std::memcpy(c.path, e.path, e.path_len);
-      if (e.path_len < kPathCap) c.path[e.path_len] = uint8_t(state);
+      c.node = int32_t(arena.size());
+      arena.push_back(PathNode{e.node, uint8_t(state)});
     };
 
     // INDELS (inexact_match.c:434-463)
@@ -824,6 +902,44 @@ extern "C" int64_t bwbble_gold_align_multiref(
   }
   if (n_pops) *n_pops = pops;
   return out.n;
+}
+
+}  // namespace
+
+extern "C" int64_t bwbble_gold_align_multiref(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* tables, const int64_t* pp, const int8_t* seq,
+    const int8_t* rc, int64_t read_len, int64_t cap, int64_t* out_meta,
+    uint8_t* out_paths, int64_t* n_pops) {
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval};
+  return gold_align_impl(ix, tables, pp, seq, rc, read_len, cap, out_meta,
+                         out_paths, n_pops);
+}
+
+// fused-table variant: `fused` is FMIndex.fused_planes() (see DIdx.fused)
+extern "C" int64_t bwbble_gold_align_multiref_f(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* tables, const int64_t* pp, const int8_t* seq,
+    const int8_t* rc, int64_t read_len, int64_t cap, int64_t* out_meta,
+    uint8_t* out_paths, int64_t* n_pops, const uint64_t* fused) {
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval,
+          interval == 128 ? fused : nullptr};
+  return gold_align_impl(ix, tables, pp, seq, rc, read_len, cap, out_meta,
+                         out_paths, n_pops);
+}
+
+extern "C" int bwbble_calc_d_multiref_f(
+    const uint64_t* planes, int64_t nwords, const int64_t* occ,
+    const int64_t* Carr, int64_t length, int64_t sa0, int64_t interval,
+    const uint8_t* nucl_bases, int nb_per, const int8_t* read,
+    int64_t read_len, int64_t* D /* [read_len+1][2] */,
+    const uint64_t* fused) {
+  DIdx ix{planes, nwords, occ, Carr, length, sa0, interval,
+          interval == 128 ? fused : nullptr};
+  calc_d_core(ix, nucl_bases, nb_per, read, read_len, D);
+  return 0;
 }
 
 }  // extern "C"
