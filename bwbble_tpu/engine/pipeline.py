@@ -81,6 +81,55 @@ def _calc_d_chunk(didx, seq, lengths, lengths_np, params, K):
     return D, Ds, dov1 | (dov2 & use_seed_d)
 
 
+def probe_native_d(didx: DeviceIndex, reads: Reads, params: AlnParams,
+                   d_cap: int, k_fast: int = 2, host_idx: FMIndex | None
+                   = None, mesh=None) -> tuple[int, bool]:
+    """(K1, skip): K1 is the device D pass's first-try interval capacity,
+    skip=True when the whole device pass should be bypassed for the native
+    exact scanner.
+
+    Pure-ACGT references keep lists at width ~1 (k_fast=2 suffices); on
+    IUPAC multi-genomes the scan's wide phase carries dozens of disjoint
+    intervals on EVERY read, so a tiny first pass is pure waste — probe
+    one chunk at k_fast and escalate the DEFAULT width if it overflows.
+    When even d_cap overflows on >90% of the probe chunk (hundreds of
+    disjoint intervals per read), the whole K=d_cap device pass (~1 s per
+    1024-read chunk) would be discarded wholesale for the native scanner,
+    so skip it up front."""
+    NR = reads.count
+    Lmax = max(reads.max_len, 1)
+    K1 = min(k_fast, d_cap) if params.is_multiref else d_cap
+    if not (params.is_multiref and NR > 0 and d_cap > K1):
+        return K1, False
+    nat_ok = False
+    if host_idx is not None and mesh is None:
+        from bwbble_tpu.native import get_native
+        _natp = get_native()
+        nat_ok = (_natp is not None and getattr(_natp, "_has_calc_d", False)
+                  and host_idx.length == int(didx.length))
+    sq = np.zeros((min(256, max(NR, 1)), Lmax), dtype=np.int8)
+    nbp = min(256, NR, sq.shape[0])
+    sq[:nbp, :reads.seq.shape[1]] = reads.seq[:nbp]
+    lnp = np.zeros((sq.shape[0],), dtype=np.int32)
+    lnp[:nbp] = reads.lengths[:nbp]
+    if mesh is None:
+        _, _, dovp = _calc_d_chunk(didx, jnp.asarray(sq),
+                                   jnp.asarray(lnp), lnp, params, K1)
+    else:
+        from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
+        _, _, dovp = sharded_calc_d_chunk(mesh, didx, jnp.asarray(sq),
+                                          jnp.asarray(lnp), params, K1)
+    if np.asarray(dovp)[:nbp].mean() > 0.5:
+        K1 = d_cap
+        if nat_ok:
+            _, _, dovp2 = _calc_d_chunk(didx, jnp.asarray(sq),
+                                        jnp.asarray(lnp), lnp, params,
+                                        d_cap)
+            if np.asarray(dovp2)[:nbp].mean() > 0.9:
+                return K1, True
+    return K1, False
+
+
 def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
                batch: int, d_cap: int = 16, k_fast: int = 2, mesh=None,
                host_idx: FMIndex | None = None, on_chunk=None):
@@ -103,44 +152,11 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     """
     NR = reads.count
     Lmax = max(reads.max_len, 1)
-    # pure-ACGT references keep lists at width ~1 (k_fast=2 suffices); on
-    # IUPAC multi-genomes the scan's wide phase carries dozens of disjoint
-    # intervals on EVERY read, so a tiny first pass is pure waste — probe
-    # one chunk at k_fast and escalate the DEFAULT width if it overflows
-    K1 = min(k_fast, d_cap) if params.is_multiref else d_cap
-    nat_ok = False
-    if params.is_multiref and host_idx is not None and mesh is None:
-        from bwbble_tpu.native import get_native
-        _natp = get_native()
-        nat_ok = (_natp is not None and getattr(_natp, "_has_calc_d", False)
-                  and host_idx.length == int(didx.length))
-    if params.is_multiref and NR > 0 and d_cap > K1:
-        sq = np.zeros((min(256, batch), Lmax), dtype=np.int8)
-        nbp = min(256, NR, sq.shape[0])
-        sq[:nbp, :reads.seq.shape[1]] = reads.seq[:nbp]
-        lnp = np.zeros((sq.shape[0],), dtype=np.int32)
-        lnp[:nbp] = reads.lengths[:nbp]
-        if mesh is None:
-            _, _, dovp = _calc_d_chunk(didx, jnp.asarray(sq),
-                                       jnp.asarray(lnp), lnp, params, K1)
-        else:
-            from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
-            _, _, dovp = sharded_calc_d_chunk(mesh, didx, jnp.asarray(sq),
-                                              jnp.asarray(lnp), params, K1)
-        if np.asarray(dovp)[:nbp].mean() > 0.5:
-            K1 = d_cap
-            # second probe at d_cap: when the interval lists overflow even
-            # d_cap slots on ~every read (IUPAC-dense multi-genomes carry
-            # hundreds of disjoint intervals in the scan's wide phase), the
-            # whole K=d_cap device pass (~1 s per 1024-read chunk) would be
-            # discarded wholesale for the native scanner — skip it up front
-            if nat_ok:
-                _, _, dovp2 = _calc_d_chunk(didx, jnp.asarray(sq),
-                                            jnp.asarray(lnp), lnp, params,
-                                            d_cap)
-                if np.asarray(dovp2)[:nbp].mean() > 0.9:
-                    return _calc_d_native_all(didx, host_idx, reads, params,
-                                              batch, on_chunk)
+    K1, skip = probe_native_d(didx, reads, params, d_cap, k_fast,
+                              host_idx, mesh)
+    if skip:
+        return _calc_d_native_all(didx, host_idx, reads, params,
+                                  batch, on_chunk)
     if mesh is not None:
         from bwbble_tpu.parallel.shard import sharded_calc_d_chunk
 
@@ -229,12 +245,12 @@ def calc_d_all(didx: DeviceIndex, reads: Reads, params: AlnParams,
     return D_all, Ds_all, dov_all
 
 
-def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
-                       params: AlnParams, batch: int, on_chunk=None):
-    """Exact D/D_seed bounds for every read from the native unbounded-list
+def native_scan_chunks(host_idx: FMIndex, reads: Reads, params: AlnParams,
+                       batch: int, np_dt=np.int32):
+    """Generator: exact D/D_seed bounds from the native unbounded-list
     scanner (the reference's calculate_d semantics at any interval-list
-    width, inexact_match.c:171-254), chunked so `on_chunk` can route the
-    hardest reads to the gold pool while later chunks still scan.
+    width, inexact_match.c:171-254), one `batch`-read chunk at a time.
+    Yields (indices, D_chunk, Ds_chunk, difficulty).
 
     The difficulty proxy comes from the EXACT scanned widths — a clipped
     device pass (K=8) was tried as the routing signal and underestimated
@@ -247,36 +263,51 @@ def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
     NR = reads.count
     Lmax = max(reads.max_len, 1)
     seed_len = int(params.seed_length)
-    np_dt = np.int64 if str(didx.idt) == "int64" else np.int32
-    _tr("calc_d_all: device pass skipped (d_cap probe overflow); "
-        "native exact scan")
-
     nb_tab = np.ascontiguousarray(CN.NUCL_BASES, dtype=np.uint8)
     planes = host_idx.bit_planes()
     fused = host_idx.fused_planes()
-    D_np = np.zeros((NR, Lmax + 1, 2), dtype=np_dt)
-    Ds_np = np.zeros((NR, max(seed_len, 1) + 1, 2), dtype=np_dt)
-    _t0 = _tm.monotonic()
     for s in range(0, NR, batch):
         e = min(s + batch, NR)
+        Dch = np.zeros((e - s, Lmax + 1, 2), dtype=np_dt)
+        Dsch = np.zeros((e - s, max(seed_len, 1) + 1, 2), dtype=np_dt)
         for r in range(s, e):
             ln_r = int(reads.lengths[r])
             dr = nat.calc_d_multiref(
                 planes, host_idx.occ, host_idx.Carr, host_idx.length,
                 host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r], ln_r,
                 fused=fused)
-            D_np[r, :ln_r + 1] = dr
+            Dch[r - s, :ln_r + 1] = dr
             if ln_r > seed_len and seed_len > 0:
                 ds = nat.calc_d_multiref(
                     planes, host_idx.occ, host_idx.Carr, host_idx.length,
                     host_idx.sa0, CN.OCC_INTERVAL, nb_tab, reads.seq[r],
                     seed_len, fused=fused)
-                Ds_np[r, :seed_len + 1] = ds
+                Dsch[r - s, :seed_len + 1] = ds
+        zc = (-64.0 * np.sum(
+            np.log2(1.0 + Dch[:, :, 1].astype(np.float64)), axis=1)
+            ).astype(np.int64)
+        yield np.arange(s, e, dtype=np.int64), Dch, Dsch, zc
+
+
+def _calc_d_native_all(didx: DeviceIndex, host_idx: FMIndex, reads: Reads,
+                       params: AlnParams, batch: int, on_chunk=None):
+    """Materialized native_scan_chunks: exact D bounds for every read,
+    with `on_chunk` routing as each chunk lands."""
+    NR = reads.count
+    Lmax = max(reads.max_len, 1)
+    seed_len = int(params.seed_length)
+    np_dt = np.int64 if str(didx.idt) == "int64" else np.int32
+    _tr("calc_d_all: device pass skipped (d_cap probe overflow); "
+        "native exact scan")
+    D_np = np.zeros((NR, Lmax + 1, 2), dtype=np_dt)
+    Ds_np = np.zeros((NR, max(seed_len, 1) + 1, 2), dtype=np_dt)
+    _t0 = _tm.monotonic()
+    for gi, Dch, Dsch, zc in native_scan_chunks(host_idx, reads, params,
+                                                batch, np_dt):
+        D_np[gi[0]:gi[-1] + 1] = Dch
+        Ds_np[gi[0]:gi[-1] + 1] = Dsch
         if on_chunk is not None:
-            zc = (-64.0 * np.sum(
-                np.log2(1.0 + D_np[s:e, :, 1].astype(np.float64)), axis=1)
-                ).astype(np.int64)
-            on_chunk(np.arange(s, e, dtype=np.int64), zc)
+            on_chunk(gi, zc)
     _tr(f"calc_d_all: native exact scan {NR} reads "
         f"({_tm.monotonic() - _t0:.2f}s)")
     return (jnp.asarray(D_np), jnp.asarray(Ds_np),
@@ -387,16 +418,19 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     counters = {"fallback_reads": 0, "retried_reads": 0}
     results: list = [None] * reads.count
 
-    def run_tier(sel_all: np.ndarray, tier_cfg: EngineConfig, tier_B: int,
-                 on_failed=None) -> list[int]:
+    def run_tier(sel_all: np.ndarray | None, tier_cfg: EngineConfig,
+                 tier_B: int, on_failed=None, sel_gen=None) -> list[int]:
         """Process reads[sel_all] with tier_cfg; fill `results` for resolved
         reads, return the original indices that overflowed.  `on_failed`
         (streaming gold overlap): called with each launch's overflow list
-        as soon as it is known, while later launches still run."""
+        as soon as it is known, while later launches still run.  `sel_gen`
+        (scan+launch overlap): an iterator of launch index arrays pulled
+        BETWEEN a launch's async dispatch and its blocking collect, so
+        host work inside the iterator (the native D scan) runs while the
+        device crunches the previous launch."""
         failed: list[int] = []
 
-        def dispatch(start: int):
-            sel = sel_all[start:start + tier_B]
+        def dispatch(sel: np.ndarray):
             nb = sel.shape[0]
             if nb < tier_B:
                 # pad with copies of the first read: all batches share one
@@ -416,9 +450,13 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 seeds = (jnp.asarray(sL.astype(np.int32)),
                          jnp.asarray(sU.astype(np.int32)),
                          jnp.asarray(scnt))
-            selj = jnp.asarray(sel.astype(np.int32))
-            Dsel = jnp.take(D_all, selj, axis=0)
-            Dssel = jnp.take(Ds_all, selj, axis=0)
+            if isinstance(D_all, np.ndarray):
+                Dsel = jnp.asarray(D_all[sel])
+                Dssel = jnp.asarray(Ds_all[sel])
+            else:
+                selj = jnp.asarray(sel.astype(np.int32))
+                Dsel = jnp.take(D_all, selj, axis=0)
+                Dssel = jnp.take(Ds_all, selj, axis=0)
             if mesh is not None:
                 from bwbble_tpu.parallel.shard import sharded_inexact_search
                 res = sharded_inexact_search(
@@ -490,6 +528,21 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             if on_failed is not None and launch_failed:
                 on_failed(launch_failed)
 
+        if sel_gen is not None:
+            # one arena in flight: dispatch launch k (async), pull the next
+            # batch from the iterator (host-side scan), then block on k
+            it = iter(sel_gen)
+            nxt = next(it, None)
+            while nxt is not None:
+                t0 = _tm.monotonic()
+                h = dispatch(nxt)
+                t1 = _tm.monotonic()
+                nxt = next(it, None)
+                t2 = _tm.monotonic()
+                collect(h)
+                _tr(f"tier B={tier_B} stream: dispatch {t1 - t0:.2f}s "
+                    f"scan {t2 - t1:.2f}s collect {_tm.monotonic() - t2:.2f}s")
+            return failed
         # every in-flight batch holds a full arena (~cap*B*22 bytes); cap
         # the dispatch window so total arena footprint stays under HBM
         arena_bytes = int(tier_cfg.cap) * tier_B * 23
@@ -497,7 +550,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         pending: deque = deque()
         for start in range(0, sel_all.shape[0], tier_B):
             t0 = _tm.monotonic()
-            pending.append(dispatch(start))
+            pending.append(dispatch(sel_all[start:start + tier_B]))
             t1 = _tm.monotonic()
             while len(pending) > win:
                 collect(pending.popleft())
@@ -551,6 +604,76 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         return sel
 
     import time as _time0
+
+    # Streamed scan+launch overlap: when the d_cap probe shows the device
+    # D pass would be discarded for the native scanner anyway (IUPAC-dense
+    # multi-genomes) and the gold pool is up, the scan runs on the CPU
+    # BETWEEN each launch's async dispatch and its blocking collect, so
+    # the device starts crunching after ONE scanned chunk instead of after
+    # the full D phase.  Each launch takes the hardest B pending reads
+    # (LPT-ish: failures surface early and stream to the pool mid-run).
+    if (pool is not None and sort_reads and mesh is None and precalc is None
+            and probe_native_d(didx, reads, params, d_cap,
+                               host_idx=idx)[1]):
+        _t_d = _time0.time()
+        np_dt = np.int64 if str(didx.idt) == "int64" else np.int32
+        Lmax_s = max(reads.max_len, 1)
+        seed_len_s = int(params.seed_length)
+        D_all = np.zeros((reads.count, Lmax_s + 1, 2), dtype=np_dt)
+        Ds_all = np.zeros((reads.count, max(seed_len_s, 1) + 1, 2),
+                          dtype=np_dt)
+        t_scan = [0.0]
+
+        def _stream_batches():
+            pend_i = np.empty(0, dtype=np.int64)
+            pend_z = np.empty(0, dtype=np.int64)
+            _ts = _tm.monotonic()
+            for gi, Dch, Dsch, zc in native_scan_chunks(
+                    idx, reads, params, B, np_dt):
+                D_all[gi[0]:gi[-1] + 1] = Dch
+                Ds_all[gi[0]:gi[-1] + 1] = Dsch
+                _route_chunk(gi, zc)
+                keep = ~routed[gi]
+                pend_i = np.concatenate([pend_i, gi[keep]])
+                pend_z = np.concatenate([pend_z, zc[keep]])
+                while pend_i.size >= B:
+                    topk = np.argpartition(pend_z, -B)[-B:]
+                    sel = pend_i[topk]
+                    m = np.ones(pend_i.size, dtype=bool)
+                    m[topk] = False
+                    pend_i, pend_z = pend_i[m], pend_z[m]
+                    t_scan[0] += _tm.monotonic() - _ts
+                    yield np.sort(sel)
+                    _ts = _tm.monotonic()
+            rorder = np.argsort(-pend_z, kind="stable")
+            pend_i = pend_i[rorder]
+            t_scan[0] += _tm.monotonic() - _ts
+            for s0 in range(0, pend_i.size, B):
+                yield pend_i[s0:s0 + B]
+
+        try:
+            t0s = _time0.time()
+            failed = run_tier(None, cfg, B, on_failed=pool.submit,
+                              sel_gen=_stream_batches())
+            counters["prerouted"] = int(routed.sum())
+            counters["streamed"] = True
+            counters["t_dbounds"] = round(t_scan[0], 2)
+            counters["tiers"] = [dict(
+                B=B, cap=int(cfg.cap), reads=int(reads.count - routed.sum()),
+                failed=len(set(failed)), sec=round(_time0.time() - t0s, 2))]
+            counters["fallback_reads"] += pool.submitted
+            t0 = _time0.time()
+            for orig, alns in pool.drain().items():
+                results[orig] = alns
+            counters["t_host"] = round(_time0.time() - t0, 2)
+            pool = None
+        finally:
+            if pool is not None:
+                pool.terminate()
+        if stats is not None:
+            stats.update(counters)
+        return results
+
     _t_d = _time0.time()
     D_all, Ds_all, dov_all = calc_d_all(
         didx, reads, params, batch=min(B, _pow2_at_least(reads.count)),

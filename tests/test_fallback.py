@@ -97,3 +97,41 @@ def test_gold_overlap_pool_matches_gold(small_world):
     assert stats["fallback_reads"] > 0
     assert "t_host" in stats
     assert dev == gold
+
+
+def test_streamed_scan_launch_matches_gold(tmp_path):
+    """The streamed scan+launch overlap path (native D scan interleaved
+    with device launches, hardest-B pending dispatch, chunked gold-pool
+    routing) must stay byte-identical to the all-gold run.  Needs an
+    IUPAC-dense world so the d_cap probe trips the native-scan mode."""
+    from bwbble_tpu.formats.fasta import fasta2ref
+    from bwbble_tpu.formats.fastq import read_fastq
+    from bwbble_tpu.index import FMIndex
+    from bwbble_tpu.native import get_native
+    from bwbble_tpu.testutil import random_genome_fasta, simulate_reads_fastq
+    import pytest
+
+    nat = get_native()
+    if nat is None or not getattr(nat, "_has_gold", False):
+        pytest.skip("native gold engine unavailable")
+    fa = str(tmp_path / "g.fa")
+    fq = str(tmp_path / "r.fq")
+    random_genome_fasta(fa, {"chr1": 400_000}, seed=21, iupac_frac=0.03)
+    simulate_reads_fastq(fa, fq, 192, read_len=100, num_mm=2,
+                         indel_frac=0.2, seed=22)
+    codes, _ = fasta2ref(fa, str(tmp_path / "g.ref"), str(tmp_path / "g.ann"))
+    idx = FMIndex.build(codes)
+    reads = read_fastq(fq)
+    didx = from_fmindex(idx)
+    params = AlnParams(max_diff=2, batch_size=64)
+    cfg = EngineConfig(cap=16384, acap=24, kx=4, max_iters=100_000)
+
+    stats: dict = {}
+    # d_cap=16: interval-list width scales with genome size, so a unit-
+    # test-sized world needs a smaller cap for the probe to trip the
+    # native-scan mode (the chr21 bench world trips it at 64)
+    dev = align_reads_device(idx, didx, reads, params, cfg, d_cap=16,
+                             stats=stats, gold_overlap=True)
+    gold = align_reads_gold(idx, reads, params)
+    assert stats.get("streamed"), "expected the streamed overlap path"
+    assert dev == gold
