@@ -466,6 +466,7 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
     candM2 = [None] * S.NSLOT
     candSc = [None] * S.NSLOT
     validc = [None] * S.NSLOT
+    mm_inc = [None] * S.NSLOT     # mismatch pushes (score +p_mm vs +0)
 
     ins_ok = ind_ok & ((is_I & allow_extend) | (is_M & allow_open))
     validc[0] = live & ins_ok
@@ -506,7 +507,8 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
         validc[s] = live & (ok_mm | ok_ex)
         candL[s] = Lj
         candU[s] = Uj
-        mmn = emm + jnp.where(ok_mm & ~is_match, 1, 0)
+        mm_inc[s] = ok_mm & ~is_match
+        mmn = emm + jnp.where(mm_inc[s], 1, 0)
         candM1[s] = _pack1(ei - 1, mmn, ego, ege, C.STATE_M, nplen)
         candSc[s] = S.score_of(mmn, ego, ege)
 
@@ -524,17 +526,61 @@ def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
                                st["mode"])
 
     # score-bucket linking: sequential LIFO push of slots 0..NSLOT-1
-    # expressed as per-slot head-plane selects (the running head IS the
-    # XLA path's lastp/old_head combination; inexact_match.c:510-610)
+    # (inexact_match.c:510-610).  A push's score is the parent's score
+    # plus ONE of three per-lane deltas — 0 (match), p_mm (mismatch),
+    # p_go/p_ge-by-state (gaps; slot 0 and the deletion slots share the
+    # same per-lane delta) — and with all three scores positive and p_mm
+    # distinct from the gap scores, the three bucket rows are pairwise
+    # distinct and never clip (push score < NB: counters are capped at
+    # the max_* bounds before a push).  So the 23 O(NB*B0) head-row
+    # gathers of the naive loop collapse to 3 picks + 3 row updates, with
+    # LIFO prev links chained through per-group running "last slot"
+    # vectors.
     total = jnp.zeros_like(ei)
-    for s in range(S.NSLOT):
-        v = validc[s] & ~frame_over
-        bsel = jnp.clip(candSc[s], 0, S.NB - 1)
-        prev_s = _pick_rows(head, bsel, S.NB)
-        snp_add = int(_IS_SNP[S.chars[s - 1 - S.NC]]) if s >= 1 + S.NC else 0
-        candM2[s] = ((esnp + snp_add) & 0xFF) | ((prev_s + 1) << 8)
-        head = jnp.where(v & (row_b == bsel), base + s, head)
-        total = total + v.astype(jnp.int32)
+    fast_link = (S.p_mm > 0 and S.p_go > 0 and S.p_ge > 0
+                 and S.p_mm != S.p_go and S.p_mm != S.p_ge)
+    if fast_link:
+        b_gap = escore + jnp.where(is_M, S.p_go, S.p_ge)
+        b_mm = escore + S.p_mm
+        b_eq = escore
+        h_gap = _pick_rows(head, b_gap, S.NB)
+        h_mm = _pick_rows(head, b_mm, S.NB)
+        h_eq = _pick_rows(head, b_eq, S.NB)
+        last_g = jnp.full_like(ei, -1)
+        last_m = jnp.full_like(ei, -1)
+        last_e = jnp.full_like(ei, -1)
+        for s in range(S.NSLOT):
+            v = validc[s] & ~frame_over
+            snp_add = (int(_IS_SNP[S.chars[s - 1 - S.NC]])
+                       if s >= 1 + S.NC else 0)
+            if s < 1 + S.NC:
+                prev_s = jnp.where(last_g >= 0, base + last_g, h_gap)
+                last_g = jnp.where(v, s, last_g)
+            else:
+                inc = mm_inc[s]
+                prev_s = jnp.where(
+                    inc, jnp.where(last_m >= 0, base + last_m, h_mm),
+                    jnp.where(last_e >= 0, base + last_e, h_eq))
+                last_m = jnp.where(v & inc, s, last_m)
+                last_e = jnp.where(v & ~inc, s, last_e)
+            candM2[s] = ((esnp + snp_add) & 0xFF) | ((prev_s + 1) << 8)
+            total = total + v.astype(jnp.int32)
+        head = jnp.where((row_b == b_gap) & (last_g >= 0), base + last_g,
+                         head)
+        head = jnp.where((row_b == b_mm) & (last_m >= 0), base + last_m,
+                         head)
+        head = jnp.where((row_b == b_eq) & (last_e >= 0), base + last_e,
+                         head)
+    else:
+        for s in range(S.NSLOT):
+            v = validc[s] & ~frame_over
+            bsel = jnp.clip(candSc[s], 0, S.NB - 1)
+            prev_s = _pick_rows(head, bsel, S.NB)
+            snp_add = (int(_IS_SNP[S.chars[s - 1 - S.NC]])
+                       if s >= 1 + S.NC else 0)
+            candM2[s] = ((esnp + snp_add) & 0xFF) | ((prev_s + 1) << 8)
+            head = jnp.where(v & (row_b == bsel), base + s, head)
+            total = total + v.astype(jnp.int32)
     st["n_pushed"] = st["n_pushed"] + total
     st["n_open"] = st["n_open"] + total
 

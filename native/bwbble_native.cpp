@@ -13,6 +13,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -316,6 +319,38 @@ struct DIdx {
   // (li == 0 contributes nothing: the masks cancel)
   void count_block16(int64_t k, int64_t li, int64_t cnts[16]) const {
     const uint64_t* blk = fused + k * 16;
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+    // codes 0-7 in one zmm, 8-15 in the other: lane c accumulates
+    // popcount(AND over t of (bit t of c ? p_t : ~p_t) & mask)
+    __m512i acc_lo = _mm512_setzero_si512();
+    __m512i acc_hi = _mm512_setzero_si512();
+    const __mmask8 kb0 = 0xAA, kb1 = 0xCC, kb2 = 0xF0;
+    for (int w = 0; w <= int(li >> 6); ++w) {
+      uint64_t mask = ~uint64_t(0);
+      if (w == 0) mask &= ~uint64_t(1);
+      int hi = int(li - w * 64);
+      if (hi < 63) mask &= (uint64_t(1) << (hi + 1)) - 1;
+      __m512i v_lo = _mm512_set1_epi64(int64_t(mask));
+      __m512i v_hi = v_lo;
+      for (int t = 0; t < 3; ++t) {
+        uint64_t p = blk[2 * t + w];
+        __mmask8 kt = (t == 0) ? kb0 : (t == 1) ? kb1 : kb2;
+        __m512i sel = _mm512_mask_blend_epi64(
+            kt, _mm512_set1_epi64(int64_t(~p)), _mm512_set1_epi64(int64_t(p)));
+        v_lo = _mm512_and_epi64(v_lo, sel);
+        v_hi = _mm512_and_epi64(v_hi, sel);
+      }
+      uint64_t p3 = blk[6 + w];
+      v_lo = _mm512_and_epi64(v_lo, _mm512_set1_epi64(int64_t(~p3)));
+      v_hi = _mm512_and_epi64(v_hi, _mm512_set1_epi64(int64_t(p3)));
+      acc_lo = _mm512_add_epi64(acc_lo, _mm512_popcnt_epi64(v_lo));
+      acc_hi = _mm512_add_epi64(acc_hi, _mm512_popcnt_epi64(v_hi));
+    }
+    int64_t tmp[16];
+    _mm512_storeu_si512((__m512i*)tmp, acc_lo);
+    _mm512_storeu_si512((__m512i*)(tmp + 8), acc_hi);
+    for (int c = 0; c < 16; ++c) cnts[c] += tmp[c];
+#else
     for (int w = 0; w <= int(li >> 6); ++w) {
       uint64_t mask = ~uint64_t(0);
       if (w == 0) mask &= ~uint64_t(1);
@@ -331,6 +366,7 @@ struct DIdx {
         cnts[c] += __builtin_popcountll(s0[c & 1] & s1[(c >> 1) & 1] &
                                         s2[(c >> 2) & 1] & s3[(c >> 3) & 1]);
     }
+#endif
   }
 
   // #positions in [a, b] whose code equals c (a >= 0)
@@ -449,7 +485,15 @@ void calc_d_core(const DIdx& ix, const uint8_t* nucl_bases, int nb_per,
     } else {
       next.clear();
       int64_t Olo[16], Ohi[16];
-      for (const auto& lu : curr) {
+      size_t ncur = curr.size();
+      for (size_t q = 0; q < ncur; ++q) {
+        const auto& lu = curr[q];
+        if (ix.fused && q + 1 < ncur) {
+          // the next interval's fused rows are independent loads — issue
+          // them now so their DRAM latency overlaps this interval's math
+          __builtin_prefetch(ix.fused + ((curr[q + 1].first - 1) >> 7) * 16);
+          __builtin_prefetch(ix.fused + (curr[q + 1].second >> 7) * 16);
+        }
         ix.O_all(lu.first - 1, Olo);
         ix.O_all(lu.second, Ohi);
         for (int b = 0; b < nb_per; ++b) {
@@ -640,13 +684,23 @@ inline void add_intv(std::vector<std::pair<int64_t, int64_t>>& v, int64_t L,
 std::vector<std::pair<int64_t, int64_t>> exact_bounded(
     const DIdx& ix, const GoldTables& t, const int8_t* read, int64_t l,
     int64_t u, int64_t i) {
-  std::vector<std::pair<int64_t, int64_t>> curr{{l, u}}, nxt;
+  // thread_local scratch: called once per diff_left==0 pop, so per-call
+  // vector growth would dominate the short scans
+  static thread_local std::vector<std::pair<int64_t, int64_t>> curr, nxt;
+  curr.assign(1, {l, u});
+  nxt.clear();
   int64_t Olo[16], Ohi[16];
   for (int64_t r = i; r >= 0; --r) {
     int c = read[r];
     if (c < 0 || c > 3) return {};
     nxt.clear();
-    for (const auto& lu : curr) {
+    size_t ncur = curr.size();
+    for (size_t q = 0; q < ncur; ++q) {
+      const auto& lu = curr[q];
+      if (ix.fused && q + 1 < ncur) {
+        __builtin_prefetch(ix.fused + ((curr[q + 1].first - 1) >> 7) * 16);
+        __builtin_prefetch(ix.fused + (curr[q + 1].second >> 7) * 16);
+      }
       ix.O_all(lu.first - 1, Olo);
       ix.O_all(lu.second, Ohi);
       for (int b = 0; b < 7; ++b) {
@@ -771,6 +825,12 @@ int64_t gold_align_impl(
     if (heap.count > p.max_entries) break;
     GEntry e = heap.pop();
     ++pops;
+    if (ix.fused) {
+      // the expansion's two rank rows are independent of the pruning
+      // math below — start their DRAM fetches now
+      __builtin_prefetch(ix.fused + ((e.L - 1) >> 7) * 16);
+      __builtin_prefetch(ix.fused + (e.U >> 7) * 16);
+    }
 
     if (e.score > best_score + p.mm) break;
     int64_t diff_left = max_diff - e.mm - e.go - e.ge;
