@@ -787,6 +787,11 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         kAll = jnp.concatenate(
             [blk_of(eL - 1)[None], blk_of(eU)[None],
              nxt[1:1 + 2 * S.KX]], axis=0)                     # [RQ, B]
+        # NOTE (profiled, v5e): this gather is 57% of the iteration at
+        # ~9 ns PER ROW regardless of row size (the [B,128] arena gather
+        # shows the same per-row cost), so the lever is FEWER streams
+        # (RQ = 2 + 2*kx), not layout tricks — an optimization_barrier
+        # does not change XLA's transposed-gather layout choice.
         rows = jnp.take(didx.table, kAll.reshape(-1), axis=0)
         rows_T = rows.reshape(S.RQ, B, S.W).transpose(0, 2, 1) \
                      .reshape(S.RQ * S.W, B)
