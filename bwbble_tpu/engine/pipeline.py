@@ -591,7 +591,11 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # dbounds phase.  Chunks are i.i.d. samples of the read set, so a
     # per-chunk quantile tracks the global one.
     routed = np.zeros(reads.count, dtype=bool)
-    route_frac = 0.25 if (pool is not None and sort_reads) else 0.0
+    # balance: the tier quantizes to ceil(device_reads / B) launches, and
+    # with the round-2 native gold (~1.5 ms/read on the tail) the pool
+    # absorbs 3/8 of the reads in less wall time than the launches they
+    # would otherwise fill (measured on the chr21 world)
+    route_frac = 0.375 if (pool is not None and sort_reads) else 0.0
 
     def _route_chunk(gi: np.ndarray, zc: np.ndarray):
         k = int(gi.size * route_frac)
