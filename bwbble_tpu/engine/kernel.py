@@ -50,6 +50,16 @@ from bwbble_tpu.engine.device_index import BLK
 # set True in tests to run the kernel through the Pallas interpreter on CPU
 INTERPRET = False
 
+# Rank-table rows reach the kernel as gathered 512-byte "fat rows" (4
+# consecutive 32-word blocks viewed as one [.., 128] row) and are
+# transposed + sub-slab-selected IN the kernel.  A gather whose output
+# minor dim is exactly the 128-lane tile keeps XLA's natural row-major
+# gather layout (bulk row copies); the old [RQ*32, B] lane-major feed let
+# XLA fold the transpose INTO the gather as scattered 4-byte stores
+# (~9-60 ns/row, 57% of the iteration — see STATUS.md and
+# benchmarks/gather_pallas_probe.py).  False restores the old feed.
+FAT_ROWS = True
+
 MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
 _SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
 
@@ -128,6 +138,8 @@ class _Static:
         # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
         self.RQ = 2 + 2 * self.KX
         self.W = 32          # fused table row width (int32 words)
+        self.FAT = FAT_ROWS  # 512-byte fat-row gather + in-kernel slab pick
+        self.SUBW = ((self.RQ + 7) // 8) * 8   # sub-slab row, sublane-padded
         # nxt feed-forward rows: node_next + 2*KX exact rank-row ids,
         # padded to a multiple of 8 sublanes
         self.NXW = ((1 + 2 * self.KX + 7) // 8) * 8
@@ -283,15 +295,37 @@ def _merge_compact(S: _Static, candL, candU, valid, K):
     return newLs, newUs, newcnt, overflow
 
 
-def _kernel_body(S: _Static, scal_ref, carr_ref, rows_ref, node4_ref,
-                 cdp_ref, head_ref, sv_ref, oa_ref, xa_ref,
-                 head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o):
+def _kernel_body(S: _Static, *refs):
+    if S.FAT:
+        (scal_ref, carr_ref, fat_ref, sub_ref, node4_ref, cdp_ref,
+         head_ref, sv_ref, oa_ref, xa_ref,
+         head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o) = refs
+    else:
+        (scal_ref, carr_ref, rows_ref, node4_ref, cdp_ref,
+         head_ref, sv_ref, oa_ref, xa_ref,
+         head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o) = refs
     B0 = head_ref.shape[1]
     fcnt = scal_ref[0, 0]
     LEN = scal_ref[0, 1]
     carr16 = carr_ref[0:16, :]                  # [16, 1]: C[0..15]
     carr17 = carr_ref[1:17, :]                  # [16, 1]: C[1..16]
-    rows = rows_ref[:]
+    if S.FAT:
+        # fat_ref[q]: [B0, 128] gathered 512-byte rows (4 consecutive
+        # 32-word table blocks); transpose in VMEM and pick each lane's
+        # 32-word sub-slab — the HBM gather stays on XLA's bulk row-copy
+        # path instead of the folded-transpose scattered-store path
+        slabs = []
+        for q in range(S.RQ):
+            xt = fat_ref[q, :, :].T                       # [128, B0]
+            sq = sub_ref[q:q + 1, :]                      # (1, B0)
+            slab = jnp.where(sq == 0, xt[0:32],
+                             jnp.where(sq == 1, xt[32:64],
+                                       jnp.where(sq == 2, xt[64:96],
+                                                 xt[96:128])))
+            slabs.append(slab)
+        rows = jnp.concatenate(slabs, axis=0)             # [RQ*32, B0]
+    else:
+        rows = rows_ref[:]
 
     eL = node4_ref[0:1, :]
     eU = node4_ref[1:2, :]
@@ -664,11 +698,22 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
 
     bspec = lambda w: pl.BlockSpec((w, B0), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
+    if S.FAT:
+        rows_specs = [pl.BlockSpec((S.RQ, B0, 128), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),   # fat rows
+                      bspec(S.SUBW)]                           # sub-slab ids
+        tbl = didx.table
+        padr = (-tbl.shape[0]) % 4
+        if padr:
+            tbl = jnp.pad(tbl, ((0, padr), (0, 0)))
+        table4 = tbl.reshape(-1, 128)          # 4 blocks per 512-B fat row
+    else:
+        rows_specs = [bspec(S.RQ * S.W)]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # scal
         pl.BlockSpec((32, 1), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),                 # carr slab
-        bspec(S.RQ * S.W), bspec(4), bspec(16),
+        *rows_specs, bspec(4), bspec(16),
         bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP), bspec(2 * S.KX),
     ]
     out_shapes = [
@@ -787,14 +832,25 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         kAll = jnp.concatenate(
             [blk_of(eL - 1)[None], blk_of(eU)[None],
              nxt[1:1 + 2 * S.KX]], axis=0)                     # [RQ, B]
-        # NOTE (profiled, v5e): this gather is 57% of the iteration at
-        # ~9 ns PER ROW regardless of row size (the [B,128] arena gather
-        # shows the same per-row cost), so the lever is FEWER streams
-        # (RQ = 2 + 2*kx), not layout tricks — an optimization_barrier
-        # does not change XLA's transposed-gather layout choice.
-        rows = jnp.take(didx.table, kAll.reshape(-1), axis=0)
-        rows_T = rows.reshape(S.RQ, B, S.W).transpose(0, 2, 1) \
-                     .reshape(S.RQ * S.W, B)
+        # NOTE (profiled, v5e): with the lane-major [RQ*32, B] feed this
+        # gather was 57% of the iteration at ~9 ns PER ROW — XLA folds the
+        # transpose INTO the gather as scattered 4-byte stores, and an
+        # optimization_barrier does not change its layout choice.  The
+        # FAT path instead gathers 512-byte fat rows (minor dim = the
+        # 128-lane tile, so the gather keeps its bulk row-copy layout)
+        # and moves the transpose + 32-word sub-slab pick inside the
+        # kernel's VMEM.
+        if S.FAT:
+            fat = jnp.take(table4, (kAll >> 2).reshape(-1), axis=0) \
+                     .reshape(S.RQ, B, 128)
+            subm = jnp.concatenate(
+                [kAll & 3, jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)],
+                axis=0)
+            rows_args = (fat, subm)
+        else:
+            rows = jnp.take(didx.table, kAll.reshape(-1), axis=0)
+            rows_args = (rows.reshape(S.RQ, B, S.W).transpose(0, 2, 1)
+                         .reshape(S.RQ * S.W, B),)
 
         # per-lane picks: read char (DFS + exact) and D/D_seed bounds
         ei = m1 & 0xFF
@@ -827,8 +883,8 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
             kern, grid=grid, out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             interpret=INTERPRET,
-        )(scal, carrv, rows_T, node4.T, cdp, carry["head"], carry["sv"],
-          carry["oa"], carry["xa"])
+        )(scal, carrv, *rows_args, node4.T, cdp, carry["head"],
+          carry["sv"], carry["oa"], carry["xa"])
 
         # frame write: interleave [4*NSLOT] node words + parent id
         candN = jnp.stack(
