@@ -59,6 +59,11 @@ INTERPRET = False
 # (~9-60 ns/row, 57% of the iteration — see STATUS.md and
 # benchmarks/gather_pallas_probe.py).  False restores the old feed.
 FAT_ROWS = True
+# Blocks per fat row (4 -> 512-B rows, 8 -> 1-KB super-rows).  The gather
+# engine is LATENCY-bound per row (~12 ns/row regardless of 128-512 B row
+# size, measured in-loop), so wider rows cost the same and let narrow
+# (L, U) query pairs share one fetched row.
+FAT_BLOCKS = int(__import__("os").environ.get("BWBBLE_FAT_BLOCKS", "4"))
 
 MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
 _SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
@@ -69,9 +74,8 @@ _SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
  _SV_POPPED) = range(14)
 NSV = 16
 
-# cdp row layout ([16, B] plane): glue-computed per-lane picks
-(_CD_CDFS, _CD_CX, _CD_D1N, _CD_D2N, _CD_D1W, _CD_D2W, _CD_S1N, _CD_S2N,
- _CD_S1W, _CD_S2W, _CD_SEEDI, _CD_LEN) = range(12)
+def _pad8(n):
+    return ((int(n) + 7) // 8) * 8
 
 _MATCH = np.asarray(C.MATCH_MATRIX, dtype=np.int32)      # [5, 16]
 _IS_SNP = np.asarray(C.IS_SNP, dtype=np.int32)
@@ -138,8 +142,21 @@ class _Static:
         # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
         self.RQ = 2 + 2 * self.KX
         self.W = 32          # fused table row width (int32 words)
-        self.FAT = FAT_ROWS  # 512-byte fat-row gather + in-kernel slab pick
-        self.SUBW = ((self.RQ + 7) // 8) * 8   # sub-slab row, sublane-padded
+        self.FAT = FAT_ROWS  # fat-row gather + in-kernel slab pick
+        self.FATB = FAT_BLOCKS   # table blocks (32 words) per fat row
+        self.FATW = 32 * self.FATB             # fat row width, int32 words
+        self.SUBW = _pad8(self.RQ)             # sub-slab row, sublane-padded
+        # per-read lane-major lookup tables resident as kernel inputs
+        # (the XLA-glue one-hot picks over [B, L, 2] D bounds lowered to a
+        # kLoop fusion measured at 142 us/iter — 80% of the iteration):
+        #   rcx [RCW, B]: read chars; row Lmax holds the read length
+        #   dnw [2*HD, B]: D next-diff rows 0..TD, widths at HD..HD+TD
+        #   dsw [2*HS, B]: seed-D likewise
+        self.TD = Lmax                  # D has Lmax+1 rows per read
+        self.TS = max(self.p_seedlen, 1)
+        self.RCW = _pad8(Lmax + 1)
+        self.HD = _pad8(self.TD + 1)
+        self.HS = _pad8(self.TS + 1)
         # nxt feed-forward rows: node_next + 2*KX exact rank-row ids,
         # padded to a multiple of 8 sublanes
         self.NXW = ((1 + 2 * self.KX + 7) // 8) * 8
@@ -297,12 +314,12 @@ def _merge_compact(S: _Static, candL, candU, valid, K):
 
 def _kernel_body(S: _Static, *refs):
     if S.FAT:
-        (scal_ref, carr_ref, fat_ref, sub_ref, node4_ref, cdp_ref,
-         head_ref, sv_ref, oa_ref, xa_ref,
+        (scal_ref, carr_ref, fat_ref, sub_ref, node4_ref, rcx_ref,
+         dnw_ref, dsw_ref, head_ref, sv_ref, oa_ref, xa_ref,
          head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o) = refs
     else:
-        (scal_ref, carr_ref, rows_ref, node4_ref, cdp_ref,
-         head_ref, sv_ref, oa_ref, xa_ref,
+        (scal_ref, carr_ref, rows_ref, node4_ref, rcx_ref,
+         dnw_ref, dsw_ref, head_ref, sv_ref, oa_ref, xa_ref,
          head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o) = refs
     B0 = head_ref.shape[1]
     fcnt = scal_ref[0, 0]
@@ -316,12 +333,11 @@ def _kernel_body(S: _Static, *refs):
         # path instead of the folded-transpose scattered-store path
         slabs = []
         for q in range(S.RQ):
-            xt = fat_ref[q, :, :].T                       # [128, B0]
+            xt = fat_ref[q, :, :].T                       # [FATW, B0]
             sq = sub_ref[q:q + 1, :]                      # (1, B0)
-            slab = jnp.where(sq == 0, xt[0:32],
-                             jnp.where(sq == 1, xt[32:64],
-                                       jnp.where(sq == 2, xt[64:96],
-                                                 xt[96:128])))
+            slab = xt[0:32]
+            for v in range(1, S.FATB):
+                slab = jnp.where(sq == v, xt[32 * v:32 * (v + 1)], slab)
             slabs.append(slab)
         rows = jnp.concatenate(slabs, axis=0)             # [RQ*32, B0]
     else:
@@ -331,7 +347,29 @@ def _kernel_body(S: _Static, *refs):
     eU = node4_ref[1:2, :]
     m1 = node4_ref[2:3, :]
     m2 = node4_ref[3:4, :]
-    cd = lambda r: cdp_ref[r:r + 1, :]
+
+    # per-lane picks from the lane-major per-read tables (read chars, D /
+    # seed-D bounds, lengths) — one-hot sums over sublane rows in VMEM
+    ei0 = m1 & 0xFF
+    lengths = rcx_ref[S.Lmax:S.Lmax + 1, :]
+    rcx = rcx_ref[:]
+    c_dfs = jnp.clip(_pick_rows(rcx, jnp.clip(ei0 - 1, 0, S.Lmax - 1),
+                                S.RCW), 0, 4)
+    xj0 = sv_ref[_SV_XJ:_SV_XJ + 1, :]
+    c_xp = _pick_rows(rcx, jnp.clip(xj0, 0, S.Lmax - 1), S.RCW)
+    dn_s = dnw_ref[0:S.HD, :]
+    dw_s = dnw_ref[S.HD:2 * S.HD, :]
+    D1n = _pick_rows(dn_s, jnp.clip(ei0 - 1, 0, S.TD), S.HD)
+    D2n = _pick_rows(dn_s, jnp.clip(ei0 - 2, 0, S.TD), S.HD)
+    D1w = _pick_rows(dw_s, jnp.clip(ei0 - 1, 0, S.TD), S.HD)
+    D2w = _pick_rows(dw_s, jnp.clip(ei0 - 2, 0, S.TD), S.HD)
+    seed_pos = ei0 - (lengths - S.p_seedlen)
+    sn_s = dsw_ref[0:S.HS, :]
+    sw_s = dsw_ref[S.HS:2 * S.HS, :]
+    S1n = _pick_rows(sn_s, jnp.clip(seed_pos - 1, 0, S.TS), S.HS)
+    S2n = _pick_rows(sn_s, jnp.clip(seed_pos - 2, 0, S.TS), S.HS)
+    S1w = _pick_rows(sw_s, jnp.clip(seed_pos - 1, 0, S.TS), S.HS)
+    S2w = _pick_rows(sw_s, jnp.clip(seed_pos - 2, 0, S.TS), S.HS)
 
     head = head_ref[:]                          # [NB, B0]
     sv = lambda k: sv_ref[k:k + 1, :]
@@ -354,7 +392,7 @@ def _kernel_body(S: _Static, *refs):
     # ---------------- exact-completion step (engine/inexact.py:exact_step)
     lanesx = st["mode"] == MODE_EXACT
     j = st["x_j"]
-    c = jnp.where(lanesx & (j >= 0), cd(_CD_CX), 4)
+    c = jnp.where(lanesx & (j >= 0), c_xp, 4)
     c_lt4 = c < 4
     candL_l, candU_l, valid_l = [], [], []
     for k in range(S.KX):
@@ -434,10 +472,9 @@ def _kernel_body(S: _Static, *refs):
 
     diff_left = st["max_diff"] - emm - ego - ege
     cont = diff_left < 0
-    cont = cont | ((ei > 0) & (diff_left < cd(_CD_D1N)))
+    cont = cont | ((ei > 0) & (diff_left < D1n))
     dls = S.p_maxdiffseed - emm - ego - ege
-    seed_pos = cd(_CD_SEEDI)
-    cont = cont | ((seed_pos > 0) & (dls < cd(_CD_S1N)))
+    cont = cont | ((seed_pos > 0) & (dls < S1n))
     live = lanes & ~cont
 
     hit = live & (ei == 0)
@@ -461,10 +498,6 @@ def _kernel_body(S: _Static, *refs):
     Lv = _rank16(S, eL - 1, rows, 0, 1, True, LEN, carr16, carr17)
     Uv = _rank16(S, eU, rows, 1, 0, True, LEN, carr16, carr17)
 
-    D1n, D2n = cd(_CD_D1N), cd(_CD_D2N)
-    D1w, D2w = cd(_CD_D1W), cd(_CD_D2W)
-    S1n, S2n = cd(_CD_S1N), cd(_CD_S2N)
-    S1w, S2w = cd(_CD_S1W), cd(_CD_S2W)
     allow_diff = jnp.ones_like(lanes)
     allow_mm = jnp.ones_like(lanes)
     pm = ei - 1 > 0
@@ -478,7 +511,6 @@ def _kernel_body(S: _Static, *refs):
     allow_diff = allow_diff & ~(ps & ad2)
     allow_mm = allow_mm & ~(ps & ~ad2 & am2)
 
-    lengths = cd(_CD_LEN)
     tmp = ego + ege
     allow_indels = ~(((ei - 1) < (S.p_noindel + tmp))
                      | ((lengths - (ei - 1)) < (S.p_noindel + tmp)))
@@ -487,7 +519,7 @@ def _kernel_body(S: _Static, *refs):
     allow_open = ego < S.p_maxgapo
     allow_extend = ege < S.p_maxgape
 
-    cdf = jnp.clip(cd(_CD_CDFS), 0, 4)
+    cdf = c_dfs
     is_I = est == C.STATE_I
     is_M = est == C.STATE_M
     ind_ok = allow_diff & allow_indels
@@ -685,37 +717,55 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
     rtN = state["rtN"]
     TDm1 = D.shape[1] - 1
     TSm1 = Ds.shape[1] - 1
+    assert TDm1 == S.TD and TSm1 == S.TS, (TDm1, S.TD, TSm1, S.TS)
     lane_iota = jnp.arange(B, dtype=jnp.int32)
     length32 = didx.length.astype(jnp.int32)
     len_m1 = length32 - 1
     carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
                              jnp.zeros((15,), jnp.int32)]).reshape(32, 1)
 
-    def pick(arr, idx):
-        cols = jnp.arange(arr.shape[1], dtype=jnp.int32)[None, :]
-        return jnp.sum(jnp.where(cols == idx[:, None], arr, 0), axis=1,
-                       dtype=arr.dtype)
-
     bspec = lambda w: pl.BlockSpec((w, B0), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     if S.FAT:
-        rows_specs = [pl.BlockSpec((S.RQ, B0, 128), lambda i: (0, i, 0),
+        rows_specs = [pl.BlockSpec((S.RQ, B0, S.FATW),
+                                   lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),   # fat rows
                       bspec(S.SUBW)]                           # sub-slab ids
         tbl = didx.table
-        padr = (-tbl.shape[0]) % 4
+        padr = (-tbl.shape[0]) % S.FATB
         if padr:
             tbl = jnp.pad(tbl, ((0, padr), (0, 0)))
-        table4 = tbl.reshape(-1, 128)          # 4 blocks per 512-B fat row
+        table4 = tbl.reshape(-1, S.FATW)       # FATB blocks per fat row
     else:
         rows_specs = [bspec(S.RQ * S.W)]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # scal
         pl.BlockSpec((32, 1), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),                 # carr slab
-        *rows_specs, bspec(4), bspec(16),
+        *rows_specs, bspec(4),
+        bspec(S.RCW), bspec(2 * S.HD), bspec(2 * S.HS),
         bspec(S.NB), bspec(NSV), bspec(7 * S.ACAP), bspec(2 * S.KX),
     ]
+
+    def lane_tables(rc_a, len_a, D_a, Ds_a):
+        """Per-read lookup tables in kernel lane-major layout: read chars
+        [RCW, B] (row Lmax = length), D bounds [2*HD, B], seed-D [2*HS, B].
+        Built once per launch (and re-built in the rare queue-refill cond
+        branch) — the per-iteration XLA one-hot picks over [B, L, 2]
+        lowered to a 142 us/iter kLoop fusion, 80% of the loop."""
+        rcx = jnp.concatenate(
+            [rc_a.astype(jnp.int32).T,
+             jnp.zeros((S.RCW - S.Lmax, B), jnp.int32)
+                .at[0].set(len_a.astype(jnp.int32))], axis=0)
+        dnw = jnp.concatenate(
+            [D_a[:, :, 0].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype),
+             D_a[:, :, 1].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype)],
+            axis=0).astype(jnp.int32)
+        dsw = jnp.concatenate(
+            [Ds_a[:, :, 0].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype),
+             Ds_a[:, :, 1].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype)],
+            axis=0).astype(jnp.int32)
+        return rcx, dnw, dsw
     out_shapes = [
         jax.ShapeDtypeStruct((S.NB, B), jnp.int32),            # head
         jax.ShapeDtypeStruct((NSV, B), jnp.int32),             # sv
@@ -772,6 +822,8 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         out = dict(cr, aN=d["aN"], head=headT, sv=sv, oa=oa, xa=xa,
                    nxt=cr["nxt"].at[0].set(node0), fcnt=d["fcnt"])
         out.update({k: d[k] for k in qkeys})
+        out["rcx"], out["dnw"], out["dsw"] = lane_tables(
+            d["rc"], d["len"], d["D"], d["Ds"])
         return out
 
     if QU:
@@ -806,10 +858,6 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         aN = carry["aN"]
         nxt = carry["nxt"]
         node = nxt[0]
-        rc_c = carry["rc"] if QU else rc
-        len_c = carry["len"] if QU else lengths_v
-        D_c = carry["D"] if QU else D
-        Ds_c = carry["Ds"] if QU else Ds
         rtN_c = carry["rtN"] if QU else rtN
 
         # arena pop-row gather + node unpack (roots from rtN)
@@ -841,39 +889,24 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         # and moves the transpose + 32-word sub-slab pick inside the
         # kernel's VMEM.
         if S.FAT:
-            fat = jnp.take(table4, (kAll >> 2).reshape(-1), axis=0) \
-                     .reshape(S.RQ, B, 128)
+            fsh = S.FATB.bit_length() - 1
+            fat = jnp.take(table4, (kAll >> fsh).reshape(-1), axis=0) \
+                     .reshape(S.RQ, B, S.FATW)
             subm = jnp.concatenate(
-                [kAll & 3, jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)],
-                axis=0)
+                [kAll & (S.FATB - 1),
+                 jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)], axis=0)
             rows_args = (fat, subm)
         else:
             rows = jnp.take(didx.table, kAll.reshape(-1), axis=0)
             rows_args = (rows.reshape(S.RQ, B, S.W).transpose(0, 2, 1)
                          .reshape(S.RQ * S.W, B),)
 
-        # per-lane picks: read char (DFS + exact) and D/D_seed bounds
-        ei = m1 & 0xFF
-        c_dfs = jnp.clip(pick(rc_c, jnp.clip(ei - 1, 0, Lmax - 1)),
-                         0, 4).astype(jnp.int32)
-        xj = carry["sv"][_SV_XJ]
-        c_x = jnp.where(xj >= 0,
-                        pick(rc_c, jnp.clip(xj, 0, Lmax - 1)),
-                        4).astype(jnp.int32)
-        dnd = lambda a, i, T: pick(a[:, :, 0], jnp.clip(i, 0, T))
-        dw = lambda a, i, T: pick(a[:, :, 1], jnp.clip(i, 0, T))
-        seed_index = ei - (len_c - S.p_seedlen)
-        cdp = jnp.stack(
-            [c_dfs, c_x,
-             dnd(D_c, ei - 1, TDm1), dnd(D_c, ei - 2, TDm1),
-             dw(D_c, ei - 1, TDm1), dw(D_c, ei - 2, TDm1),
-             dnd(Ds_c, seed_index - 1, TSm1),
-             dnd(Ds_c, seed_index - 2, TSm1),
-             dw(Ds_c, seed_index - 1, TSm1),
-             dw(Ds_c, seed_index - 2, TSm1),
-             seed_index, len_c,
-             jnp.zeros_like(ei), jnp.zeros_like(ei),
-             jnp.zeros_like(ei), jnp.zeros_like(ei)], axis=0)  # [16, B]
+        # per-lane lookup tables (read chars, D/D_seed bounds): queue mode
+        # refreshes them at refill, fixed mode closes over one build
+        if QU:
+            rcx_t, dnw_t, dsw_t = carry["rcx"], carry["dnw"], carry["dsw"]
+        else:
+            rcx_t, dnw_t, dsw_t = rcx0, dnw0, dsw0
 
         scal = jnp.stack([carry["fcnt"], length32,
                           didx.sa0.astype(jnp.int32),
@@ -883,8 +916,8 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
             kern, grid=grid, out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             interpret=INTERPRET,
-        )(scal, carrv, *rows_args, node4.T, cdp, carry["head"],
-          carry["sv"], carry["oa"], carry["xa"])
+        )(scal, carrv, *rows_args, node4.T, rcx_t, dnw_t, dsw_t,
+          carry["head"], carry["sv"], carry["oa"], carry["xa"])
 
         # frame write: interleave [4*NSLOT] node words + parent id
         candN = jnp.stack(
@@ -929,6 +962,10 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
                  nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"])
     if QU:
         carry.update({k: state[k] for k in qkeys})
+        carry["rcx"], carry["dnw"], carry["dsw"] = lane_tables(
+            state["rc"], state["len"], state["D"], state["Ds"])
+    else:
+        rcx0, dnw0, dsw0 = lane_tables(rc, lengths_v, D, Ds)
 
     def cond(cr):
         alive = jnp.any(cr["sv"][_SV_MODE] != MODE_DONE)
