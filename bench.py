@@ -11,46 +11,120 @@ The honest workload (VERDICT r1 item 2) — everything the aligner exists for:
   (capped at 4) and a 1-3 bp indel on 12% of reads, both strands;
 - alignment with -n 4 (gaps enabled via default -o 1 -e 6).
 
-Baseline: the reference C aligner (gcc -O3, one core — it is single-
-threaded per read batch and this container has one core) measured on THIS
-exact workload by scripts/measure_baseline.py.  Round-1's 5 Mbp uniform-
-random no-IUPAC bench is kept as a secondary mode (--easy).
+Self-verifying (VERDICT r2 item 2): the baseline is MEASURED IN-BAND —
+this script compiles the reference aligner (gcc -O3, one core), runs
+`bwbble align -n 4` once on the exact same reads, and caches the result
+in .bench/<world>/baseline*.json; there are no hardcoded baseline
+constants.  The oracle's `.aln` output is kept and the device run's
+`.aln` is byte-compared against it — the JSON line carries
+`parity: true/false` alongside the throughput ratio.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "parity"}.
 """
 
 from __future__ import annotations
 
+import filecmp
+import glob
 import json
 import os
+import re
+import shutil
 import subprocess
 import sys
 import time
 
 import numpy as np
 
-# reference bwbble on these exact worlds, 1 CPU core, measured by
-# scripts/measure_baseline.py in this environment (2026-08-17); see
-# .bench/chr21*/baseline.json when present for locally measured values
-BASELINE_READS_PER_SEC = 600.0         # calibrated chr21 world (see below)
-HARD_BASELINE_READS_PER_SEC = 138.3    # --hard: chained repeat families
-EASY_BASELINE_READS_PER_SEC = 5100.0   # --easy: BASELINE.md round-1 workload
-
 GENOME_BP = 46_700_000
-NUM_READS = 16_384      # reads in the cached worlds / baseline measurements
+NUM_READS = 16_384      # reads in the cached worlds
 CHR21_BENCH_READS = 8_192   # aligned by the chr21 bench run (rate metric)
 READ_LEN = 100
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, ".bench")
 
 
 def _mgref_binary():
-    root = os.path.dirname(os.path.abspath(__file__))
-    exe = os.path.join(root, "native", "build", "mgref")
+    exe = os.path.join(ROOT, "native", "build", "mgref")
     if not os.path.exists(exe):
         subprocess.run([sys.executable, "-m", "bwbble_tpu.build_native"],
-                       check=True, cwd=root)
+                       check=True, cwd=ROOT)
     return exe
+
+
+def oracle_binary() -> str:
+    """The compiled reference aligner (same build as tests/conftest.py)."""
+    exe = os.path.join(ROOT, ".oracle", "bwbble")
+    if not os.path.exists(exe):
+        os.makedirs(os.path.dirname(exe), exist_ok=True)
+        srcs = glob.glob("/root/reference/mg-aligner/*.c")
+        subprocess.run(["gcc", "-O3", "-std=gnu99", "-fopenmp", *srcs,
+                        "-o", exe, "-lm", "-lz", "-lpthread"], check=True)
+    return exe
+
+
+def subset_fastq(fq: str, n: int) -> str:
+    """First n records of fq, cached next to it."""
+    sub = os.path.join(os.path.dirname(fq), f"reads_sub{n}.fq")
+    if not os.path.exists(sub):
+        with open(fq, "rb") as f, open(sub, "wb") as g:
+            for _ in range(4 * n):
+                g.write(f.readline())
+    return sub
+
+
+def ensure_baseline(world: str, fa: str, fq: str, n_reads: int,
+                    tag: str = "") -> tuple[float, str]:
+    """Measure the reference aligner on (fa, fq) once; cache the result.
+
+    Returns (matching_reads_per_sec, oracle_aln_path).  The rate divides
+    by the reference's own per-batch "matching time" printf
+    (inexact_match.c:67) — i.e. pure search compute, excluding its index/
+    read load phases, which is the STRICTER baseline for us (our measured
+    span includes D bounds, transfers and result assembly)."""
+    bj = os.path.join(world, f"baseline{tag}.json")
+    aln = os.path.join(world, f"oracle{tag}.aln")
+    if os.path.exists(bj) and os.path.exists(aln):
+        with open(bj) as f:
+            d = json.load(f)
+        if d.get("num_reads") == n_reads:
+            return float(d["reads_per_sec_matching_only"]), aln
+    exe = oracle_binary()
+    # the oracle writes <fa>.{ref,ann,bwt} next to the fasta; index a copy
+    # so our own artifacts aren't clobbered
+    ofa = os.path.join(world, "oracle_" + os.path.basename(fa))
+    if not os.path.exists(ofa):
+        shutil.copy(fa, ofa)
+    if not os.path.exists(ofa + ".bwt"):
+        t0 = time.time()
+        subprocess.run([exe, "index", ofa], check=True,
+                       stdout=subprocess.DEVNULL)
+        sys.stderr.write(f"[bench] oracle index: {time.time() - t0:.1f}s\n")
+    if os.path.exists(aln):
+        os.remove(aln)
+    t0 = time.time()
+    r = subprocess.run([exe, "align", "-n", "4", ofa, fq, aln],
+                       check=True, capture_output=True, text=True)
+    dt = time.time() - t0
+    # "Processed N reads. Inexact matching time: T sec." — cumulative
+    # across batches (inexact_match.c:67), so take the last occurrence
+    m = re.findall(r"Inexact matching time: ([0-9.]+) sec", r.stdout)
+    t_match = float(m[-1]) if m else dt
+    rps_total = n_reads / dt
+    rps_match = n_reads / t_match if t_match > 0 else rps_total
+    sys.stderr.write(
+        f"[bench] oracle align: total {dt:.2f}s ({rps_total:.0f} r/s), "
+        f"matching {t_match:.2f}s ({rps_match:.0f} r/s)\n")
+    with open(bj, "w") as f:
+        json.dump({"reads_per_sec": round(rps_total, 2),
+                   "reads_per_sec_matching_only": round(rps_match, 2),
+                   "align_wall_s": round(dt, 3),
+                   "matching_s": round(t_match, 3),
+                   "num_reads": n_reads,
+                   "cmd": "bwbble align -n 4 (gcc -O3, 1 core, in-band)",
+                   "date": time.strftime("%Y-%m-%d %H:%M:%S")}, f, indent=1)
+    return rps_match, aln
 
 
 def build_world(hard: bool = False):
@@ -118,10 +192,11 @@ def build_world_easy():
     from bwbble_tpu.index.fmindex import FMIndex
     from bwbble_tpu.testutil import random_genome_fasta, simulate_reads_fastq
 
-    os.makedirs(CACHE, exist_ok=True)
-    fa = os.path.join(CACHE, "bench.fa")
-    fq = os.path.join(CACHE, f"bench_{NUM_READS}.fq")
-    bwt = os.path.join(CACHE, "bench.bwt")
+    d = os.path.join(CACHE, "easy")
+    os.makedirs(d, exist_ok=True)
+    fa = os.path.join(d, "bench.fa")
+    fq = os.path.join(d, f"reads_{NUM_READS}.fq")
+    bwt = os.path.join(d, "bench.bwt")
     if not os.path.exists(fa):
         random_genome_fasta(fa, {"chr1": 5_000_000}, seed=11)
     if not os.path.exists(fq):
@@ -130,12 +205,12 @@ def build_world_easy():
     if os.path.exists(bwt):
         idx = FMIndex.load(bwt)
     else:
-        codes, _ann = fasta2ref(fa, os.path.join(CACHE, "bench.ref"),
-                                os.path.join(CACHE, "bench.ann"))
+        codes, _ann = fasta2ref(fa, os.path.join(d, "bench.ref"),
+                                os.path.join(d, "bench.ann"))
         idx = FMIndex.build(codes)
         idx.store(bwt)
     reads = read_fastq(fq)
-    return idx, reads, CACHE
+    return idx, reads, d
 
 
 def main():
@@ -144,20 +219,20 @@ def main():
     t0 = time.time()
     if easy:
         idx, reads, world = build_world_easy()
-        baseline = EASY_BASELINE_READS_PER_SEC
+        fa = os.path.join(world, "bench.fa")
+        fq_bench = os.path.join(world, f"reads_{NUM_READS}.fq")
+        n_bench = reads.count
     else:
         idx, reads, world = build_world(hard=hard)
         from bwbble_tpu.formats.fastq import Reads
-        n = min(CHR21_BENCH_READS, reads.count)
-        reads = Reads(names=reads.names[:n], seq=reads.seq[:n],
-                      rc=reads.rc[:n], qual=reads.qual[:n],
-                      lengths=reads.lengths[:n])
-        baseline = (HARD_BASELINE_READS_PER_SEC if hard
-                    else BASELINE_READS_PER_SEC)
-        bj = os.path.join(world, "baseline.json")
-        if os.path.exists(bj):
-            with open(bj) as f:
-                baseline = float(json.load(f)["reads_per_sec"])
+        n_bench = min(CHR21_BENCH_READS, reads.count)
+        reads = Reads(names=reads.names[:n_bench], seq=reads.seq[:n_bench],
+                      rc=reads.rc[:n_bench], qual=reads.qual[:n_bench],
+                      lengths=reads.lengths[:n_bench])
+        fa = os.path.join(world, "mg_bubble.fa")
+        fq_bench = subset_fastq(os.path.join(world, f"reads_{NUM_READS}.fq"),
+                                n_bench)
+    baseline, oracle_aln = ensure_baseline(world, fa, fq_bench, n_bench)
     t_build = time.time() - t0
 
     import jax
@@ -168,12 +243,13 @@ def main():
     from bwbble_tpu.engine.device_index import from_fmindex
     from bwbble_tpu.engine.inexact import EngineConfig
     from bwbble_tpu.engine.pipeline import align_reads_device
+    from bwbble_tpu.formats.aln import write_aln_file
 
     def _ph(msg):
         sys.stderr.write(f"[bench +{time.time()-t0:.1f}s] {msg}\n")
         sys.stderr.flush()
 
-    _ph(f"world ready ({t_build:.1f}s)")
+    _ph(f"world + baseline ready ({t_build:.1f}s)")
     didx = from_fmindex(idx)
     _ph("device index uploaded")
     if easy:
@@ -216,14 +292,26 @@ def main():
     cpu_gold = (c1.ru_utime + c1.ru_stime) - (c0.ru_utime + c0.ru_stime)
     reads_per_sec = reads.count / dt
 
+    # output parity vs the oracle's .aln on the same reads (byte equality)
+    dev_aln = os.path.join(world, "device.aln")
+    write_aln_file(dev_aln, alns)
+    parity = filecmp.cmp(dev_aln, oracle_aln, shallow=False)
+
     n_aligned = sum(1 for a in alns if a)
     fallback = stats.get("fallback_reads", 0)
+    t_dev = sum(t.get("sec", 0.0) for t in stats.get("tiers", [])) \
+        or stats.get("t_search", 0.0)
+    dev_reads = reads.count - fallback
     sys.stderr.write(
         f"backend={jax.default_backend()} workload="
         f"{'easy-5Mbp' if easy else ('chr21-hard' if hard else 'chr21-multigenome')} "
         f"index_len={idx.length} build={t_build:.1f}s align={dt:.2f}s "
         f"aligned={n_aligned}/{reads.count} "
+        f"end_to_end={reads_per_sec:.1f}r/s "
+        f"device_tier={dev_reads}r/{t_dev:.2f}s"
+        f"={dev_reads / t_dev if t_dev else 0:.1f}r/s "
         f"fallback={fallback} ({100.0 * fallback / reads.count:.2f}%) "
+        f"baseline={baseline:.1f}r/s parity={parity} "
         f"retried={stats.get('retried_reads', 0)} "
         f"iters={stats.get('iters', 0)} "
         f"t_dbounds={stats.get('t_dbounds', 0):.2f}s "
@@ -239,6 +327,7 @@ def main():
         "value": round(reads_per_sec, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_sec / baseline, 3),
+        "parity": parity,
     }))
 
 

@@ -665,6 +665,10 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             counters["tiers"] = [dict(
                 B=B, cap=int(cfg.cap), reads=int(reads.count - routed.sum()),
                 failed=len(set(failed)), sec=round(_time0.time() - t0s, 2))]
+            # device-search wall time: the tier span minus the host scan
+            # that ran interleaved inside it
+            counters["t_search"] = round(
+                max(_time0.time() - t0s - t_scan[0], 0.0), 2)
             counters["fallback_reads"] += pool.submitted
             t0 = _time0.time()
             for orig, alns in pool.drain().items():
@@ -776,6 +780,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 sec=round(_time.time() - t0, 2)))
             sel = np.array(sorted(set(failed)), dtype=np.int64)
         counters["tiers"] = tier_log
+        counters["t_search"] = round(
+            sum(t.get("sec", 0.0) for t in tier_log), 2)
 
         if pool is not None:
             # overflow (streamed per launch) and D-overflow reads were

@@ -69,8 +69,9 @@ def main():
     dt = time.time() - t0
     # the reference prints its own matching time; prefer the wall clock of
     # the align subcommand minus load phases if parseable, else total
-    m = re.findall(r"Matching time: ([0-9.]+) sec", r.stdout)
-    t_match = sum(float(x) for x in m) if m else dt
+    # cumulative across batches (inexact_match.c:67): take the last
+    m = re.findall(r"Inexact matching time: ([0-9.]+) sec", r.stdout)
+    t_match = float(m[-1]) if m else dt
     rps_total = reads.count / dt
     rps_match = reads.count / t_match if t_match > 0 else rps_total
     print(f"oracle align: total {dt:.2f}s ({rps_total:.0f} reads/s), "
