@@ -60,19 +60,25 @@ def main():
     print(f"world={'chr21' if chr21 else 'easy'} B={B} cap={cap} "
           f"dbounds={time.time() - t0:.1f}s")
 
-    for backend in ("xla", "pallas"):
-        cfg = EngineConfig(cap=cap, acap=24, kx=4, max_iters=iters_cap,
+    kx = int(sys.argv[sys.argv.index("--kx") + 1]) if "--kx" in sys.argv else 4
+    backends = ("xla", "pallas", "resident")
+    if "--resident" in sys.argv:
+        backends = ("resident",)
+    elif "--pallas" in sys.argv:
+        backends = ("pallas",)
+    for backend in backends:
+        cfg = EngineConfig(cap=cap, acap=24, kx=kx, max_iters=iters_cap,
                            backend=backend)
         rc0, ln0, D0, Ds0 = batches[0]
         t0 = time.time()
         res = inexact_search(didx, rc0, ln0, D0, Ds0, params, cfg)
-        jax.block_until_ready(res["n_alns"])
+        np.asarray(res["n_alns"])
         t_compile = time.time() - t0
         per = []
         for rc1, ln1, D1, Ds1 in batches[1:]:
             t0 = time.time()
             res = inexact_search(didx, rc1, ln1, D1, Ds1, params, cfg)
-            jax.block_until_ready(res["n_alns"])
+            np.asarray(res["n_alns"])
             dt = time.time() - t0
             iters = int(np.asarray(res["iters"]))
             per.append(dt / max(iters, 1))

@@ -895,7 +895,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     pallas_ok = (not X64 and multiref and not HAS_SEEDS
                  and cfg.xsteps == 1 and didx.tp_axis is None
                  and B % 128 == 0)
-    use_pallas = (cfg.backend == "pallas"
+    use_pallas = (cfg.backend in ("pallas", "resident")
                   or (cfg.backend == "auto" and pallas_ok
                       and jax.default_backend() == "tpu"))
     if use_pallas:
@@ -904,10 +904,14 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
                 "backend='pallas' covers int32 multiref searches without "
                 "seeds (B a multiple of 128)")
         from bwbble_tpu.engine import kernel as _pk
-        qctx = dict(switch_step=switch_step, NR=NR, FL=FL) if QUEUED \
-            else None
-        st = _pk.run_loop(didx, state, params, cfg, B, Lmax, NROOT,
-                          queued_ctx=qctx)
+        if cfg.backend == "resident" and not QUEUED:
+            st = _pk.run_loop_resident(didx, state, params, cfg, B, Lmax,
+                                       NROOT)
+        else:
+            qctx = dict(switch_step=switch_step, NR=NR, FL=FL) if QUEUED \
+                else None
+            st = _pk.run_loop(didx, state, params, cfg, B, Lmax, NROOT,
+                              queued_ctx=qctx)
     else:
         st = jax.lax.while_loop(cond, body, state)
     timeout = st["mode"] != MODE_DONE

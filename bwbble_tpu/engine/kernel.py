@@ -312,6 +312,21 @@ def _merge_compact(S: _Static, candL, candU, valid, K):
     return newLs, newUs, newcnt, overflow
 
 
+def _fat_pick(S: _Static, fat, sub):
+    """[RQ, B0, FATW] gathered fat rows + (SUBW, B0) sub-slab ids ->
+    lane-major [RQ*32, B0] row stream (transpose + 32-word slab select
+    in VMEM)."""
+    slabs = []
+    for q in range(S.RQ):
+        xt = fat[q].T                                     # [FATW, B0]
+        sq = sub[q:q + 1, :]                              # (1, B0)
+        slab = xt[0:32]
+        for v in range(1, S.FATB):
+            slab = jnp.where(sq == v, xt[32 * v:32 * (v + 1)], slab)
+        slabs.append(slab)
+    return jnp.concatenate(slabs, axis=0)                 # [RQ*32, B0]
+
+
 def _kernel_body(S: _Static, *refs):
     if S.FAT:
         (scal_ref, carr_ref, fat_ref, sub_ref, node4_ref, rcx_ref,
@@ -321,72 +336,84 @@ def _kernel_body(S: _Static, *refs):
         (scal_ref, carr_ref, rows_ref, node4_ref, rcx_ref,
          dnw_ref, dsw_ref, head_ref, sv_ref, oa_ref, xa_ref,
          head_o, sv_o, oa_o, xa_o, cnd_o, nxt_o) = refs
-    B0 = head_ref.shape[1]
     fcnt = scal_ref[0, 0]
     LEN = scal_ref[0, 1]
-    carr16 = carr_ref[0:16, :]                  # [16, 1]: C[0..15]
-    carr17 = carr_ref[1:17, :]                  # [16, 1]: C[1..16]
     if S.FAT:
         # fat_ref[q]: [B0, 128] gathered 512-byte rows (4 consecutive
         # 32-word table blocks); transpose in VMEM and pick each lane's
         # 32-word sub-slab — the HBM gather stays on XLA's bulk row-copy
         # path instead of the folded-transpose scattered-store path
-        slabs = []
-        for q in range(S.RQ):
-            xt = fat_ref[q, :, :].T                       # [FATW, B0]
-            sq = sub_ref[q:q + 1, :]                      # (1, B0)
-            slab = xt[0:32]
-            for v in range(1, S.FATB):
-                slab = jnp.where(sq == v, xt[32 * v:32 * (v + 1)], slab)
-            slabs.append(slab)
-        rows = jnp.concatenate(slabs, axis=0)             # [RQ*32, B0]
+        rows = _fat_pick(S, fat_ref[:], sub_ref[:])
     else:
         rows = rows_ref[:]
+    head_n, sv_n, oa_n, xa_n, cnd, nxt = _iter_math(
+        S, fcnt, LEN, carr_ref[:], rows, node4_ref[:], rcx_ref[:],
+        dnw_ref[:], dsw_ref[:], head_ref[:], sv_ref[:], oa_ref[:],
+        xa_ref[:])
+    head_o[:] = head_n
+    sv_o[:] = sv_n
+    oa_o[:] = oa_n
+    xa_o[:] = xa_n
+    cnd_o[:] = cnd
+    nxt_o[:] = nxt
 
-    eL = node4_ref[0:1, :]
-    eU = node4_ref[1:2, :]
-    m1 = node4_ref[2:3, :]
-    m2 = node4_ref[3:4, :]
+
+def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
+               dsw_t, head, sv_t, oa_t, xa_t):
+    """One search iteration (exact-completion step + DFS pop/prune/expand/
+    link/emit) on lane-major VALUE planes — the pure compute core shared by
+    the per-iteration kernel (_kernel_body) and the resident multi-pop
+    kernel (_resident_body).  Returns (head, sv, oa, xa, cnd, nxt) planes.
+
+    carr: [32, 1] C-array slab; rows: [RQ*32, B0] gathered rank rows in
+    stream order; node4: [4, B0] popped-node words."""
+    B0 = head.shape[1]
+    carr16 = carr[0:16, :]                      # [16, 1]: C[0..15]
+    carr17 = carr[1:17, :]                      # [16, 1]: C[1..16]
+
+    eL = node4[0:1, :]
+    eU = node4[1:2, :]
+    m1 = node4[2:3, :]
+    m2 = node4[3:4, :]
 
     # per-lane picks from the lane-major per-read tables (read chars, D /
     # seed-D bounds, lengths) — one-hot sums over sublane rows in VMEM
     ei0 = m1 & 0xFF
-    lengths = rcx_ref[S.Lmax:S.Lmax + 1, :]
-    rcx = rcx_ref[:]
+    lengths = rcx_t[S.Lmax:S.Lmax + 1, :]
+    rcx = rcx_t
     c_dfs = jnp.clip(_pick_rows(rcx, jnp.clip(ei0 - 1, 0, S.Lmax - 1),
                                 S.RCW), 0, 4)
-    xj0 = sv_ref[_SV_XJ:_SV_XJ + 1, :]
+    xj0 = sv_t[_SV_XJ:_SV_XJ + 1, :]
     c_xp = _pick_rows(rcx, jnp.clip(xj0, 0, S.Lmax - 1), S.RCW)
-    dn_s = dnw_ref[0:S.HD, :]
-    dw_s = dnw_ref[S.HD:2 * S.HD, :]
+    dn_s = dnw_t[0:S.HD, :]
+    dw_s = dnw_t[S.HD:2 * S.HD, :]
     D1n = _pick_rows(dn_s, jnp.clip(ei0 - 1, 0, S.TD), S.HD)
     D2n = _pick_rows(dn_s, jnp.clip(ei0 - 2, 0, S.TD), S.HD)
     D1w = _pick_rows(dw_s, jnp.clip(ei0 - 1, 0, S.TD), S.HD)
     D2w = _pick_rows(dw_s, jnp.clip(ei0 - 2, 0, S.TD), S.HD)
     seed_pos = ei0 - (lengths - S.p_seedlen)
-    sn_s = dsw_ref[0:S.HS, :]
-    sw_s = dsw_ref[S.HS:2 * S.HS, :]
+    sn_s = dsw_t[0:S.HS, :]
+    sw_s = dsw_t[S.HS:2 * S.HS, :]
     S1n = _pick_rows(sn_s, jnp.clip(seed_pos - 1, 0, S.TS), S.HS)
     S2n = _pick_rows(sn_s, jnp.clip(seed_pos - 2, 0, S.TS), S.HS)
     S1w = _pick_rows(sw_s, jnp.clip(seed_pos - 1, 0, S.TS), S.HS)
     S2w = _pick_rows(sw_s, jnp.clip(seed_pos - 2, 0, S.TS), S.HS)
 
-    head = head_ref[:]                          # [NB, B0]
-    sv = lambda k: sv_ref[k:k + 1, :]
+    sv = lambda k: sv_t[k:k + 1, :]
     st = dict(
         mode=sv(_SV_MODE), best_score=sv(_SV_BEST), max_diff=sv(_SV_MAXD),
         num_best=sv(_SV_NBEST), n_alns=sv(_SV_NALN),
         overflow=sv(_SV_OVER) != 0, n_open=sv(_SV_NOPEN),
         n_pushed=sv(_SV_NPUSH), x_cnt=sv(_SV_XCNT), x_j=sv(_SV_XJ),
         x_node=sv(_SV_XNODE), x_m1=sv(_SV_XM1), x_m2=sv(_SV_XM2),
-        o_L=oa_ref[0 * S.ACAP:1 * S.ACAP, :],
-        o_U=oa_ref[1 * S.ACAP:2 * S.ACAP, :],
-        o_score=oa_ref[2 * S.ACAP:3 * S.ACAP, :],
-        o_len=oa_ref[3 * S.ACAP:4 * S.ACAP, :],
-        o_node=oa_ref[4 * S.ACAP:5 * S.ACAP, :],
-        o_m1=oa_ref[5 * S.ACAP:6 * S.ACAP, :],
-        o_snp=oa_ref[6 * S.ACAP:7 * S.ACAP, :],
-        x_L=xa_ref[:S.KX, :], x_U=xa_ref[S.KX:, :],
+        o_L=oa_t[0 * S.ACAP:1 * S.ACAP, :],
+        o_U=oa_t[1 * S.ACAP:2 * S.ACAP, :],
+        o_score=oa_t[2 * S.ACAP:3 * S.ACAP, :],
+        o_len=oa_t[3 * S.ACAP:4 * S.ACAP, :],
+        o_node=oa_t[4 * S.ACAP:5 * S.ACAP, :],
+        o_m1=oa_t[5 * S.ACAP:6 * S.ACAP, :],
+        o_snp=oa_t[6 * S.ACAP:7 * S.ACAP, :],
+        x_L=xa_t[:S.KX, :], x_U=xa_t[S.KX:, :],
     )
 
     # ---------------- exact-completion step (engine/inexact.py:exact_step)
@@ -661,23 +688,333 @@ def _kernel_body(S: _Static, *refs):
     kxL = jnp.clip(qL, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
     kxU = jnp.clip(qU, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
 
-    head_o[:] = head
     zero = jnp.zeros_like(ei)
-    sv_o[:] = jnp.concatenate(
+    sv_n = jnp.concatenate(
         [st["mode"], st["best_score"], st["max_diff"], st["num_best"],
          st["n_alns"], st["overflow"].astype(jnp.int32), st["n_open"],
          st["n_pushed"], st["x_cnt"], st["x_j"], st["x_node"], st["x_m1"],
          st["x_m2"], lanes.astype(jnp.int32), zero, zero], axis=0)
-    oa_o[:] = jnp.concatenate(
+    oa_n = jnp.concatenate(
         [st["o_L"], st["o_U"], st["o_score"], st["o_len"], st["o_node"],
          st["o_m1"], st["o_snp"]], axis=0)
-    xa_o[:] = jnp.concatenate([st["x_L"], st["x_U"]], axis=0)
-    cnd_o[:] = jnp.concatenate(
+    xa_n = jnp.concatenate([st["x_L"], st["x_U"]], axis=0)
+    cnd = jnp.concatenate(
         candL + candU + candM1 + candM2
         + [node, jnp.zeros((128 - 4 * S.NSLOT - 1, B0), jnp.int32)], axis=0)
-    nxt_o[:] = jnp.concatenate(
+    nxt = jnp.concatenate(
         [node_next, kxL, kxU,
          jnp.zeros((S.NXW - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
+    return head, sv_n, oa_n, xa_n, cnd, nxt
+
+
+# --------------------------------------------------------------------------
+# resident multi-pop kernel: the ENTIRE search loop inside one pallas_call
+# --------------------------------------------------------------------------
+# Economics (benchmarks/dma_probe.py, v5e): the per-iteration design costs
+# ~175 us per wave at B=1024 (kernel ~100 us + ~74 us of XLA row gathers +
+# dispatch), and a hard read needing P pops pays P serial waves — the
+# round-2 heavy tail.  In-kernel per-lane DMA gathers cost ~70 ns/row
+# (scalar-issue-bound; waits are free via one shared-semaphore wait for
+# the wave's total bytes), so a B-lane wave that fetches its own pop rows
+# and rank fat-rows costs ~(1 + RQ) * B * 70 ns of scalar time plus the
+# VPU compute — and the XLA glue, launch overhead, and transfer chatter
+# disappear entirely.  One launch runs a whole batch to completion.
+
+_SC_FCNT, _SC_LEN, _SC_ITER, _SC_MAXIT, _SC_ALIVE = 0, 1, 2, 3, 4
+
+
+def _resident_kernel(S: _Static, *refs):
+    """One pallas_call = the whole fixed-batch search loop.
+
+    State lives in the VMEM *output* refs (initialized from the input
+    refs, read-modified-written every wave); the frame arena stays in HBM
+    (aliased in/out) and is read/written by per-lane DMA.  Wave t:
+
+      1. pop-row fetch: per-lane DMA aN[f_b, b] -> popbuf (frame ids from
+         the previous wave's node_next, staged to SMEM);
+      2. rank-row fetch: per-lane DMA of RQ fat rows (512 B) at block ids
+         derived from the popped node (DFS streams) and the exact-scan
+         state (exact streams);
+      3. _iter_math — the identical per-iteration compute the glue kernel
+         runs (bit-exact results by construction);
+      4. frame write: interleave + transpose the candidate rows, DMA to
+         aN[wslot] (waited at the end of the wave, v1).
+    """
+    (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
+     head_i, sv_i, oa_i, xa_i, nxt_i, tbl_ref, aN_i,
+     scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o,
+     popbuf, fatbuf, framebuf, stage, sidx,
+     psem, fsem, wsem, ssem) = refs
+    B = head_i.shape[1]
+    SH = stage.shape[0]
+    LEN = scal_ref[0, _SC_LEN]
+    len_m1 = LEN - 1
+    max_iters = scal_ref[0, _SC_MAXIT]
+
+    head_o[:] = head_i[:]
+    sv_o[:] = sv_i[:]
+    oa_o[:] = oa_i[:]
+    xa_o[:] = xa_i[:]
+    nxt_o[:] = nxt_i[:]
+
+    fsh = S.FATB.bit_length() - 1
+    blk_of = lambda i: (jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
+                        // BLK).astype(jnp.int32)
+
+    def sync_stage():
+        cp = pltpu.make_async_copy(stage, sidx, ssem)
+        cp.start()
+        cp.wait()
+
+    def cond(c):
+        it, fcnt, alive = c
+        return (alive > 0) & (it < max_iters)
+
+    def body(c):
+        it, fcnt, _ = c
+        sv_t = sv_o[:]
+        nxt = nxt_o[:]
+        node = nxt[0:1, :]                                 # (1, B)
+
+        # ---- 1. pop-row fetch (mirrors glue's arena gather)
+        nn = jnp.maximum(node - S.NROOT, 0)
+        fq = nn // S.NSLOT
+        if S.RING:
+            f = fq % S.NFRAME
+        else:
+            f = jnp.minimum(fq, S.NFRAME)                  # NAREN-1 trash ok
+        stage[:] = jnp.concatenate(
+            [f, jnp.zeros((SH - 1, B), jnp.int32)], axis=0)
+        sync_stage()
+
+        def issue_pop(b, _):
+            fb = sidx[0, b]
+            pltpu.make_async_copy(
+                aN_o.at[fb, b], popbuf.at[b], psem).start()
+            return _
+        jax.lax.fori_loop(0, B, issue_pop, 0, unroll=B)
+        pltpu.make_async_copy(aN_o.at[0], popbuf, psem).wait()
+
+        popT = popbuf[:].T                                 # [ROWW, B]
+        s_ = nn - fq * S.NSLOT                             # (1, B)
+        aV = []
+        for j in range(4):
+            acc = jnp.zeros((1, B), jnp.int32)
+            for s in range(S.NSLOT):
+                acc = jnp.where(s_ == s, popT[4 * s + j:4 * s + j + 1, :],
+                                acc)
+            aV.append(acc)
+        aV = jnp.concatenate(aV, axis=0)                   # [4, B]
+        is_root = node < S.NROOT
+        node4 = jnp.where(is_root, rtN_ref[:], aV)
+
+        # ---- 2. rank fat-row fetch (streams: DFS L-1, U, exact xL/xU)
+        eL = node4[0:1, :]
+        eU = node4[1:2, :]
+        kAll = jnp.concatenate(
+            [blk_of(eL - 1), blk_of(eU), nxt[1:1 + 2 * S.KX]], axis=0)
+        fat_ids = kAll >> fsh                              # [RQ, B]
+        subm = jnp.concatenate(
+            [kAll & (S.FATB - 1),
+             jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)], axis=0)
+        stage[:] = jnp.concatenate(
+            [fat_ids, jnp.zeros((SH - S.RQ, B), jnp.int32)], axis=0)
+        sync_stage()
+
+        for q in range(S.RQ):
+            def issue_fat(b, _, q=q):
+                i = sidx[q, b]
+                pltpu.make_async_copy(
+                    tbl_ref.at[i], fatbuf.at[q * B + b], fsem).start()
+                return _
+            jax.lax.fori_loop(0, B, issue_fat, 0, unroll=B)
+        pltpu.make_async_copy(tbl_ref.at[0:S.RQ * B], fatbuf, fsem).wait()
+
+        slabs = []
+        for q in range(S.RQ):
+            xt = fatbuf[q * B:(q + 1) * B, :].T            # [FATW, B]
+            sq = subm[q:q + 1, :]
+            slab = xt[0:32]
+            for v in range(1, S.FATB):
+                slab = jnp.where(sq == v, xt[32 * v:32 * (v + 1)], slab)
+            slabs.append(slab)
+        rows = jnp.concatenate(slabs, axis=0)              # [RQ*32, B]
+
+        # ---- 3. the shared per-iteration compute
+        head_n, sv_n, oa_n, xa_n, cnd, nxt_n = _iter_math(
+            S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
+            dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:], xa_o[:])
+        head_o[:] = head_n
+        sv_o[:] = sv_n
+        oa_o[:] = oa_n
+        xa_o[:] = xa_n
+        nxt_o[:] = nxt_n
+
+        # ---- 4. frame write (interleaved arena row layout, transposed)
+        rows_l = []
+        for s in range(S.NSLOT):
+            for fld in range(4):
+                rows_l.append(cnd[fld * S.NSLOT + s:fld * S.NSLOT + s + 1])
+        rows_l.append(cnd[4 * S.NSLOT:4 * S.NSLOT + 1])    # parent node id
+        frowT = jnp.concatenate(
+            rows_l + [jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
+            axis=0)                                        # [ROWW, B]
+        framebuf[:] = frowT.T
+        if S.RING:
+            wslot = fcnt % S.NFRAME
+        else:
+            wslot = jnp.minimum(fcnt, S.NFRAME)
+        wcp = pltpu.make_async_copy(framebuf, aN_o.at[wslot], wsem)
+        wcp.start()
+        wcp.wait()
+
+        any_pop = jnp.sum(sv_n[_SV_POPPED:_SV_POPPED + 1, :],
+                          dtype=jnp.int32) > 0
+        alive = jnp.sum(
+            (sv_n[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
+            dtype=jnp.int32)
+        return (it + 1, fcnt + any_pop.astype(jnp.int32), alive)
+
+    alive0 = jnp.sum(
+        (sv_i[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
+        dtype=jnp.int32)
+    it, fcnt, _ = jax.lax.while_loop(
+        cond, body,
+        (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0))
+    scal_o[0, _SC_FCNT] = fcnt
+    scal_o[0, _SC_ITER] = it
+    scal_o[0, _SC_LEN] = 0
+    for k in range(3, 8):
+        scal_o[0, k] = 0
+
+
+def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
+    """Resident-kernel replacement for run_loop (fixed batch, int32,
+    multiref, NROOT == 1): ONE pallas_call runs the whole search loop,
+    with in-kernel DMA for arena pops, rank-row gathers, and frame
+    writes.  Results are bit-identical to run_loop/_search by
+    construction (_iter_math is shared)."""
+    S = _Static(params, cfg, B, Lmax, NROOT)
+    assert NROOT == 1 and not S.RING
+    NAREN = state["aN"].shape[0]
+
+    lengths_v = state["len"]
+    length32 = didx.length.astype(jnp.int32)
+    carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
+                             jnp.zeros((15,), jnp.int32)]).reshape(32, 1)
+    tbl = didx.table
+    padr = (-tbl.shape[0]) % S.FATB
+    if padr:
+        tbl = jnp.pad(tbl, ((0, padr), (0, 0)))
+    table4 = tbl.reshape(-1, S.FATW)
+
+    rcx0, dnw0, dsw0 = _lane_tables(S, B, state["rc"], lengths_v,
+                                    state["D"], state["Ds"])
+
+    # initial lane-major planes (same packing as run_loop)
+    sv0 = jnp.stack(
+        [state["mode"], state["best_score"], state["max_diff"],
+         state["num_best"], state["n_alns"],
+         state["overflow"].astype(jnp.int32), state["n_open"],
+         state["n_pushed"], state["x_cnt"], state["x_j"], state["x_node"],
+         state["x_m1"], state["x_m2"], jnp.zeros((B,), jnp.int32),
+         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)], axis=0)
+    oa0 = jnp.concatenate(
+        [state["o_L"].T, state["o_U"].T, state["o_score"].T,
+         state["o_len"].T, state["o_node"].T, state["o_m1"].T,
+         state["o_snp"].T], axis=0)
+    xa0 = jnp.concatenate([state["x_L"].T, state["x_U"].T], axis=0)
+    head0 = state["head"].T                                # [NB, B]
+    row_b = jnp.arange(S.NB, dtype=jnp.int32)[:, None]
+    b0 = jnp.min(jnp.where(head0 >= 0, row_b, S.NB), axis=0)
+    node0 = jnp.sum(jnp.where(row_b == b0[None, :], head0, 0), axis=0,
+                    dtype=jnp.int32)
+    nxt0 = jnp.zeros((S.NXW, B), jnp.int32).at[0].set(node0)
+    rtN0 = state["rtN"][:, 0].T                            # [4, B]
+
+    scal0 = jnp.stack(
+        [state["fcnt"], length32, state["iters"],
+         jnp.int32(int(cfg.max_iters)), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0)]).reshape(1, 8)
+
+    kern = functools.partial(_resident_kernel, S)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 8), jnp.int32),           # scal
+        jax.ShapeDtypeStruct((S.NB, B), jnp.int32),        # head
+        jax.ShapeDtypeStruct((NSV, B), jnp.int32),         # sv
+        jax.ShapeDtypeStruct((7 * S.ACAP, B), jnp.int32),  # oa
+        jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),    # xa
+        jax.ShapeDtypeStruct((S.NXW, B), jnp.int32),       # nxt
+        jax.ShapeDtypeStruct(state["aN"].shape, jnp.int32),  # arena
+    ]
+    out_specs = [sspec, vspec, vspec, vspec, vspec, vspec, aspec]
+    scratch = [
+        pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
+        pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
+        pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
+        pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
+        pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
+        pltpu.SemaphoreType.DMA(()),                       # psem
+        pltpu.SemaphoreType.DMA(()),                       # fsem
+        pltpu.SemaphoreType.DMA(()),                       # wsem
+        pltpu.SemaphoreType.DMA(()),                       # ssem
+    ]
+    scal_o, head_n, sv_n, oa_n, xa_n, nxt_n, aN_n = pl.pallas_call(
+        kern,
+        in_specs=[sspec, vspec, vspec, vspec, vspec, vspec,
+                  vspec, vspec, vspec, vspec, vspec, aspec, aspec],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases={12: 6},
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True),
+    )(scal0, carrv, rtN0, rcx0, dnw0, dsw0,
+      head0, sv0, oa0, xa0, nxt0, table4, state["aN"])
+
+    out = dict(state)
+    sv = sv_n
+    oa = oa_n
+    out.update(
+        aN=aN_n, head=head_n.T,
+        mode=sv[_SV_MODE], best_score=sv[_SV_BEST],
+        max_diff=sv[_SV_MAXD], num_best=sv[_SV_NBEST],
+        n_alns=sv[_SV_NALN], overflow=sv[_SV_OVER] != 0,
+        n_open=sv[_SV_NOPEN], n_pushed=sv[_SV_NPUSH],
+        x_cnt=sv[_SV_XCNT], x_j=sv[_SV_XJ], x_node=sv[_SV_XNODE],
+        x_m1=sv[_SV_XM1], x_m2=sv[_SV_XM2],
+        o_L=oa[0 * S.ACAP:1 * S.ACAP].T, o_U=oa[1 * S.ACAP:2 * S.ACAP].T,
+        o_score=oa[2 * S.ACAP:3 * S.ACAP].T,
+        o_len=oa[3 * S.ACAP:4 * S.ACAP].T,
+        o_node=oa[4 * S.ACAP:5 * S.ACAP].T,
+        o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
+        o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
+        x_L=xa_n[:S.KX].T, x_U=xa_n[S.KX:].T,
+        iters=scal_o[0, _SC_ITER], fcnt=scal_o[0, _SC_FCNT],
+    )
+    return out
+
+
+def _lane_tables(S: _Static, B, rc_a, len_a, D_a, Ds_a):
+    """Per-read lookup tables in kernel lane-major layout: read chars
+    [RCW, B] (row Lmax = length), D bounds [2*HD, B], seed-D [2*HS, B]."""
+    rcx = jnp.concatenate(
+        [rc_a.astype(jnp.int32).T,
+         jnp.zeros((S.RCW - S.Lmax, B), jnp.int32)
+            .at[0].set(len_a.astype(jnp.int32))], axis=0)
+    dnw = jnp.concatenate(
+        [D_a[:, :, 0].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype),
+         D_a[:, :, 1].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype)],
+        axis=0).astype(jnp.int32)
+    dsw = jnp.concatenate(
+        [Ds_a[:, :, 0].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype),
+         Ds_a[:, :, 1].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype)],
+        axis=0).astype(jnp.int32)
+    return rcx, dnw, dsw
 
 
 # --------------------------------------------------------------------------
@@ -748,24 +1085,11 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
     ]
 
     def lane_tables(rc_a, len_a, D_a, Ds_a):
-        """Per-read lookup tables in kernel lane-major layout: read chars
-        [RCW, B] (row Lmax = length), D bounds [2*HD, B], seed-D [2*HS, B].
-        Built once per launch (and re-built in the rare queue-refill cond
-        branch) — the per-iteration XLA one-hot picks over [B, L, 2]
-        lowered to a 142 us/iter kLoop fusion, 80% of the loop."""
-        rcx = jnp.concatenate(
-            [rc_a.astype(jnp.int32).T,
-             jnp.zeros((S.RCW - S.Lmax, B), jnp.int32)
-                .at[0].set(len_a.astype(jnp.int32))], axis=0)
-        dnw = jnp.concatenate(
-            [D_a[:, :, 0].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype),
-             D_a[:, :, 1].T, jnp.zeros((S.HD - 1 - S.TD, B), D_a.dtype)],
-            axis=0).astype(jnp.int32)
-        dsw = jnp.concatenate(
-            [Ds_a[:, :, 0].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype),
-             Ds_a[:, :, 1].T, jnp.zeros((S.HS - 1 - S.TS, B), Ds_a.dtype)],
-            axis=0).astype(jnp.int32)
-        return rcx, dnw, dsw
+        """_lane_tables, built once per launch (and re-built in the rare
+        queue-refill cond branch) — the per-iteration XLA one-hot picks
+        over [B, L, 2] lowered to a 142 us/iter kLoop fusion, 80% of the
+        loop."""
+        return _lane_tables(S, B, rc_a, len_a, D_a, Ds_a)
     out_shapes = [
         jax.ShapeDtypeStruct((S.NB, B), jnp.int32),            # head
         jax.ShapeDtypeStruct((NSV, B), jnp.int32),             # sv

@@ -131,6 +131,53 @@ def test_kernel_deep_tier_matches_xla_body(world):
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
 
 
+def test_resident_kernel_matches_xla_body(world):
+    """The resident multi-pop kernel (whole loop inside ONE pallas_call,
+    in-kernel DMA for arena pops / rank rows / frame writes) must
+    reproduce the XLA body exactly — including the arena content the
+    path walks read."""
+    idx, didx, reads = world
+    params = AlnParams(max_diff=3, batch_size=128)
+    cfg = EngineConfig(cap=4096, acap=24, kx=4, max_iters=20_000,
+                       backend="xla")
+    ref = _run(didx, reads, params, cfg, idx)
+
+    PK.INTERPRET = True
+    try:
+        got = _run(didx, reads, params,
+                   dataclasses.replace(cfg, backend="resident"), idx)
+    finally:
+        PK.INTERPRET = False
+
+    for k in ("n_alns", "o_L", "o_U", "o_score", "o_len", "o_node",
+              "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
+              "iters", "n_pushed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    lanes_l, nodes_l = [], []
+    for b in range(reads.count):
+        if ref["overflow"][b]:
+            continue
+        for k in range(int(ref["n_alns"][b])):
+            lanes_l.append(b)
+            nodes_l.append(int(ref["o_node"][b, k]))
+    if lanes_l:
+        W = max(256, len(lanes_l))
+        lanes_a = np.zeros(W, dtype=np.int32)
+        nodes_a = np.full(W, -1, dtype=np.int32)
+        lanes_a[:len(lanes_l)] = lanes_l
+        nodes_a[:len(nodes_l)] = nodes_l
+        nc = 11
+        kw = dict(nroot=1, nslot=1 + 2 * nc, nc=nc,
+                  pathcap=reads.max_len + 32)
+        p_ref = np.asarray(walk_paths(ref["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw))
+        p_got = np.asarray(walk_paths(got["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw))
+        np.testing.assert_array_equal(p_ref[:len(lanes_l)],
+                                      p_got[:len(lanes_l)])
+
+
 def test_kernel_queued_matches_xla_body(world):
     """Queue mode (ring arena + flush/refill + flush-time path walks)
     through the Pallas kernel must reproduce the XLA queue loop exactly."""
