@@ -91,6 +91,9 @@ class EngineConfig:
     pathcap: int = 0          # reported path length bound (0 => Lmax + 32)
     flush: int = 64           # queue mode: max reads flushed per iteration
     xsteps: int = 1           # exact-completion chars advanced per iteration
+    # resident kernel: exact-completion interval-list capacity (chunked,
+    # kx slots ranked per wave); 0 = legacy whole-list-in-kx-slots path
+    xcap: int = 0
     # loop-body backend: "auto" = the Pallas mega-kernel (engine/kernel.py)
     # on TPU for the configs it covers (fixed batch, int32, multiref, no
     # seeds), XLA otherwise; "xla" / "pallas" force one path
@@ -951,6 +954,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         overflow=st["overflow"] | timeout,
         iters=st["iters"],
         n_pushed=st["n_pushed"],
+        # per-lane diagnostics (Pallas backends; zeros on the XLA body):
+        # n_work = serial work units (pops + exact chars), ovwhy = overflow
+        # reason bits (1 kx, 2 acap, 4 path, 8 frames)
+        n_work=st.get("n_work", jnp.zeros((B,), jnp.int32)),
+        ovwhy=st.get("ovwhy", jnp.zeros((B,), jnp.int32)),
         # frame rows stay device-resident; paths of reported alignments are
         # reconstructed afterwards over a host-compacted node list
         # (walk_paths) — states derive statically from a node's frame slot.

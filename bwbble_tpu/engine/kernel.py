@@ -65,14 +65,15 @@ FAT_ROWS = True
 # (L, U) query pairs share one fetched row.
 FAT_BLOCKS = int(__import__("os").environ.get("BWBBLE_FAT_BLOCKS", "4"))
 
-MODE_DFS, MODE_EXACT, MODE_DONE = 0, 1, 2
+MODE_DFS, MODE_EXACT, MODE_DONE, MODE_EMIT = 0, 1, 2, 3
 _SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
 
 # sv row layout ([NSV, B] plane): per-lane scalar state
 (_SV_MODE, _SV_BEST, _SV_MAXD, _SV_NBEST, _SV_NALN, _SV_OVER, _SV_NOPEN,
  _SV_NPUSH, _SV_XCNT, _SV_XJ, _SV_XNODE, _SV_XM1, _SV_XM2,
- _SV_POPPED) = range(14)
-NSV = 16
+ _SV_POPPED, _SV_NWORK, _SV_OVWHY,
+ _SV_XRD, _SV_XWR, _SV_XPAR, _SV_XTU, _SV_XEMIT) = range(21)
+NSV = 24
 
 def _pad8(n):
     return ((int(n) + 7) // 8) * 8
@@ -128,6 +129,16 @@ class _Static:
         self.NSLOT = 1 + 2 * self.NC
         self.ACAP = int(cfg.acap)
         self.KX = int(cfg.kx)
+        # chunked exact completion (resident kernel): interval-list
+        # capacity XCAP with KX slots expanded per wave; 0 = the legacy
+        # KX-slot whole-list-per-wave path.  Measured on the chr21 world
+        # the completion lists are bimodal: 66% of reads stay <= 2, the
+        # rest jump to ~64-86 and NEVER exceed 256 (benchmarks/
+        # tail_survey.py + the native-gold xlist probe), so XCAP=128
+        # makes the device own every read the round-2 engine shipped to
+        # the host for kx overflow.
+        self.XCAP = int(getattr(cfg, "xcap", 0))
+        self.EC = 8          # emission slots per wave (MODE_EMIT)
         self.CAP = int(cfg.cap)
         self.NFRAME = (self.CAP - NROOT) // self.NSLOT - 1
         self.ROWW = 128
@@ -264,6 +275,7 @@ def _emit(S: _Static, st, lanes, node, m1, m2, Ls, Us, cnt, extra_m):
         full = ok & (st["n_alns"] >= S.ACAP)
         ok = ok & ~full
         st["overflow"] = st["overflow"] | full
+        st["ovwhy"] = st["ovwhy"] | jnp.where(full, 2, 0)
         sel = ok & (col_a == st["n_alns"])
         st["o_L"] = jnp.where(sel, Lv, st["o_L"])
         st["o_U"] = jnp.where(sel, Uv, st["o_U"])
@@ -310,6 +322,56 @@ def _merge_compact(S: _Static, candL, candU, valid, K):
     newLs = jnp.where(live, Lmin, 0)
     newUs = jnp.where(live, Umax, -1)
     return newLs, newUs, newcnt, overflow
+
+
+def _merge_groups_tail(S: _Static, candL, candU, valid, tailU):
+    """add_sa_interval semantics (align.c:93-110) for a CHUNK of candidates
+    appended to a running list: group adjacent candidates ([M, B0], arrival
+    order), seeding adjacency with the list's current tail U.  Returns
+    (Lmin [M, B0], Umax [M, B0], G (1, B0) group count, tail_upd (1, B0)
+    leading-run-merges-into-tail flag, tailU_new (1, B0))."""
+    M, B0 = candL.shape
+    vU = jnp.where(valid, candU, -2)
+    vF = valid
+    sh = 1
+    while sh < M:
+        vU = jnp.where(vF, vU, _shift_rows(vU, sh, -2))
+        vF = vF | _shift_rows(vF, sh, False)
+        sh <<= 1
+    prevF = _shift_rows(vF, 1, False)
+    prevU = jnp.where(prevF, _shift_rows(vU, 1, -2), tailU)
+    head = valid & (candL != prevU + 1)
+    gs = head.astype(jnp.int32)
+    sh = 1
+    while sh < M:
+        gs = gs + _shift_rows(gs, sh, 0)
+        sh <<= 1
+    gid = gs - 1                                  # -1: merges into the tail
+    G = jnp.max(jnp.where(valid, gid + 1, 0), axis=0, keepdims=True)
+    g = _iota((M, M, B0), 0)
+    is_g = gid[None] == g
+    Lmin = jnp.sum(jnp.where(is_g & head[None], candL[None], 0), axis=1,
+                   dtype=candL.dtype)                          # [M, B0]
+    Umax = jnp.max(jnp.where(is_g & valid[None], candU[None], -1), axis=1)
+    in_tail = valid & (gid == -1)
+    tail_upd = jnp.any(in_tail, axis=0, keepdims=True)
+    tailU_new = jnp.max(jnp.where(in_tail, candU, -2), axis=0, keepdims=True)
+    return Lmin, Umax, G, tail_upd, tailU_new
+
+
+def _exact_cands(S: _Static, occL, occU, c):
+    """The 7 candidate (L, U) slabs for a read base (nucl_bases rows) from
+    16-code rank slabs, as ([7, B0], [7, B0]) via a 4-way select on c."""
+    Lb, Ub = [], []
+    for base in range(4):
+        syms = [int(x) for x in _NUCL[base]]
+        Lb.append(jnp.concatenate([occL[x:x + 1, :] for x in syms], axis=0))
+        Ub.append(jnp.concatenate([occU[x:x + 1, :] for x in syms], axis=0))
+    cl = jnp.where(c == 0, Lb[0], jnp.where(c == 1, Lb[1],
+                   jnp.where(c == 2, Lb[2], Lb[3])))            # [7, B0]
+    cu = jnp.where(c == 0, Ub[0], jnp.where(c == 1, Ub[1],
+                   jnp.where(c == 2, Ub[2], Ub[3])))
+    return cl, cu
 
 
 def _fat_pick(S: _Static, fat, sub):
@@ -359,7 +421,7 @@ def _kernel_body(S: _Static, *refs):
 
 
 def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
-               dsw_t, head, sv_t, oa_t, xa_t):
+               dsw_t, head, sv_t, oa_t, xa_t, xzp=None):
     """One search iteration (exact-completion step + DFS pop/prune/expand/
     link/emit) on lane-major VALUE planes — the pure compute core shared by
     the per-iteration kernel (_kernel_body) and the resident multi-pop
@@ -414,6 +476,9 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         o_m1=oa_t[5 * S.ACAP:6 * S.ACAP, :],
         o_snp=oa_t[6 * S.ACAP:7 * S.ACAP, :],
         x_L=xa_t[:S.KX, :], x_U=xa_t[S.KX:, :],
+        n_work=sv(_SV_NWORK), ovwhy=sv(_SV_OVWHY),
+        x_rd=sv(_SV_XRD), x_wr=sv(_SV_XWR), x_par=sv(_SV_XPAR),
+        x_tU=sv(_SV_XTU), x_emit=sv(_SV_XEMIT),
     )
 
     # ---------------- exact-completion step (engine/inexact.py:exact_step)
@@ -421,53 +486,180 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     j = st["x_j"]
     c = jnp.where(lanesx & (j >= 0), c_xp, 4)
     c_lt4 = c < 4
-    candL_l, candU_l, valid_l = [], [], []
-    for k in range(S.KX):
-        xL = st["x_L"][k:k + 1, :]
-        xU = st["x_U"][k:k + 1, :]
-        occL = _rank16(S, xL - 1, rows, 2 + k, 1, False, LEN,
-                       carr16, carr17)
-        occU = _rank16(S, xU, rows, 2 + S.KX + k, 0, False, LEN,
-                       carr16, carr17)
-        k_live = k < st["x_cnt"]
-        # the 7 candidate symbols per base as [7, B0] slabs, then a
-        # 4-way select on the per-lane read base
-        Lb, Ub = [], []
-        for base in range(4):
-            syms = [int(x) for x in _NUCL[base]]
-            Lb.append(jnp.concatenate(
-                [occL[x:x + 1, :] for x in syms], axis=0))
-            Ub.append(jnp.concatenate(
-                [occU[x:x + 1, :] for x in syms], axis=0))
-        cl = jnp.where(c == 0, Lb[0], jnp.where(c == 1, Lb[1],
-                       jnp.where(c == 2, Lb[2], Lb[3])))       # [7, B0]
-        cu = jnp.where(c == 0, Ub[0], jnp.where(c == 1, Ub[1],
-                       jnp.where(c == 2, Ub[2], Ub[3])))
-        candL_l.append(cl)
-        candU_l.append(cu)
-        valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
-    candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
-    candUx = jnp.concatenate(candU_l, axis=0)
-    validx = jnp.concatenate(valid_l, axis=0) != 0
-    nLs, nUs, ncnt, ovx = _merge_compact(S, candLx, candUx, validx, S.KX)
+    if xzp is None:
+        candL_l, candU_l, valid_l = [], [], []
+        for k in range(S.KX):
+            xL = st["x_L"][k:k + 1, :]
+            xU = st["x_U"][k:k + 1, :]
+            occL = _rank16(S, xL - 1, rows, 2 + k, 1, False, LEN,
+                           carr16, carr17)
+            occU = _rank16(S, xU, rows, 2 + S.KX + k, 0, False, LEN,
+                           carr16, carr17)
+            k_live = k < st["x_cnt"]
+            cl, cu = _exact_cands(S, occL, occU, c)
+            candL_l.append(cl)
+            candU_l.append(cu)
+            valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
+        candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
+        candUx = jnp.concatenate(candU_l, axis=0)
+        validx = jnp.concatenate(valid_l, axis=0) != 0
+        nLs, nUs, ncnt, ovx = _merge_compact(S, candLx, candUx, validx, S.KX)
 
-    adv = lanesx
-    nLs = jnp.where(adv, nLs, st["x_L"])
-    nUs = jnp.where(adv, nUs, st["x_U"])
-    ncnt = jnp.where(adv, ncnt, st["x_cnt"])
-    nj = jnp.where(adv, j - 1, j)
-    st["overflow"] = st["overflow"] | (adv & ovx)
-    st["x_L"], st["x_U"], st["x_cnt"], st["x_j"] = nLs, nUs, ncnt, nj
+        adv = lanesx
+        st["n_work"] = st["n_work"] + adv.astype(jnp.int32)
+        st["ovwhy"] = st["ovwhy"] | jnp.where(adv & ovx, 1, 0)
+        nLs = jnp.where(adv, nLs, st["x_L"])
+        nUs = jnp.where(adv, nUs, st["x_U"])
+        ncnt = jnp.where(adv, ncnt, st["x_cnt"])
+        nj = jnp.where(adv, j - 1, j)
+        st["overflow"] = st["overflow"] | (adv & ovx)
+        st["x_L"], st["x_U"], st["x_cnt"], st["x_j"] = nLs, nUs, ncnt, nj
 
-    finished = adv & ((ncnt == 0) | (nj < 0))
-    matched = finished & (ncnt > 0)
-    a_i = st["x_m1"] & 0xFF
-    _emit(S, st, matched, st["x_node"], st["x_m1"], st["x_m2"],
-          [nLs[s:s + 1, :] for s in range(S.KX)],
-          [nUs[s:s + 1, :] for s in range(S.KX)],
-          jnp.where(matched, ncnt, 0), a_i)
-    st["mode"] = jnp.where(finished & (st["mode"] == MODE_EXACT),
-                           jnp.int32(MODE_DFS), st["mode"])
+        finished = adv & ((ncnt == 0) | (nj < 0))
+        matched = finished & (ncnt > 0)
+        a_i = st["x_m1"] & 0xFF
+        _emit(S, st, matched, st["x_node"], st["x_m1"], st["x_m2"],
+              [nLs[s:s + 1, :] for s in range(S.KX)],
+              [nUs[s:s + 1, :] for s in range(S.KX)],
+              jnp.where(matched, ncnt, 0), a_i)
+        st["mode"] = jnp.where(finished & (st["mode"] == MODE_EXACT),
+                               jnp.int32(MODE_DFS), st["mode"])
+        pL0 = pU0 = pL1 = pU1 = None
+    else:
+        # Chunked completion: the interval list lives in XCAP-row double-
+        # buffered planes (cur = parity-selected); each wave expands KX
+        # slots of the current char and appends the adjacent-merged groups
+        # to the next-char list (exact_match_bounded semantics at ANY list
+        # width <= XCAP, exact_match.c:66-119 + add_sa_interval).
+        pL0, pU0, pL1, pU1 = xzp
+        rowsI = _iota((S.XCAP, B0), 0)
+        par0 = st["x_par"]
+        curL = jnp.where(par0 == 0, pL0, pL1)
+        curU = jnp.where(par0 == 0, pU0, pU1)
+        nxtL = jnp.where(par0 == 0, pL1, pL0)
+        nxtU = jnp.where(par0 == 0, pU1, pU0)
+        candL_l, candU_l, valid_l = [], [], []
+        for k in range(S.KX):
+            sIdx = st["x_rd"] + k
+            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
+            xLk = _pick_rows(curL, sc, S.XCAP)
+            xUk = _pick_rows(curU, sc, S.XCAP)
+            occL = _rank16(S, xLk - 1, rows, 2 + k, 1, False, LEN,
+                           carr16, carr17)
+            occU = _rank16(S, xUk, rows, 2 + S.KX + k, 0, False, LEN,
+                           carr16, carr17)
+            k_live = sIdx < st["x_cnt"]
+            cl, cu = _exact_cands(S, occL, occU, c)
+            candL_l.append(cl)
+            candU_l.append(cu)
+            valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
+        candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
+        candUx = jnp.concatenate(candU_l, axis=0)
+        validx = (jnp.concatenate(valid_l, axis=0) != 0) & lanesx
+        grpL, grpU, G, tail_upd, tailU_new = _merge_groups_tail(
+            S, candLx, candUx, validx, st["x_tU"])
+
+        adv = lanesx
+        st["n_work"] = st["n_work"] + adv.astype(jnp.int32)
+        wr = st["x_wr"]
+        # extend the list tail (leading run adjacent to the previous
+        # chunk's last interval), then append the G new groups in order
+        sel_t = adv & tail_upd
+        nxtU = jnp.where(sel_t & (rowsI == wr - 1), tailU_new, nxtU)
+        M = candLx.shape[0]
+        for g in range(M):
+            selg = adv & (g < G) & (rowsI == jnp.clip(wr + g, 0,
+                                                      S.XCAP - 1))
+            okg = adv & (g < G) & (wr + g < S.XCAP)
+            nxtL = jnp.where(selg & okg, grpL[g:g + 1, :], nxtL)
+            nxtU = jnp.where(selg & okg, grpU[g:g + 1, :], nxtU)
+        new_wr = jnp.where(adv, wr + G, wr)
+        lastU = _pick_rows(grpU, jnp.clip(G - 1, 0, M - 1), M)
+        new_tU = jnp.where(
+            adv, jnp.where(G > 0, lastU,
+                           jnp.where(tail_upd, tailU_new, st["x_tU"])),
+            st["x_tU"])
+        ovx = adv & (new_wr > S.XCAP)
+        st["overflow"] = st["overflow"] | ovx
+        st["ovwhy"] = st["ovwhy"] | jnp.where(ovx, 1, 0)
+
+        new_rd = st["x_rd"] + S.KX
+        char_done = adv & (new_rd >= st["x_cnt"])
+        cnt_c = new_wr                      # list length after this char
+        nj = jnp.where(char_done, j - 1, j)
+        st["x_par"] = jnp.where(char_done, 1 - par0, par0)
+        st["x_rd"] = jnp.where(char_done, 0, jnp.where(adv, new_rd,
+                                                       st["x_rd"]))
+        st["x_wr"] = jnp.where(char_done, 0, new_wr)
+        st["x_tU"] = jnp.where(char_done, -2, new_tU)
+        st["x_cnt"] = jnp.where(char_done, cnt_c, st["x_cnt"])
+        st["x_j"] = nj
+
+        dead = char_done & (cnt_c == 0)
+        fin = char_done & (cnt_c > 0) & (nj < 0)
+        # one-shot scoring at scan finish (inexact_match.c:345-362):
+        # first-hit best/max_diff update, num_best += total width, stop
+        # when suboptimal past max_best — then emission (MODE_EMIT)
+        xm1 = st["x_m1"]
+        xmm = (xm1 >> _SH_MM) & 0x1F
+        xgo = (xm1 >> _SH_GO) & 0x7
+        xge = (xm1 >> _SH_GE) & 0xF
+        score_x = S.score_of(xmm, xgo, xge)
+        first_hit = fin & (st["n_alns"] == 0)
+        st["best_score"] = jnp.where(first_hit, score_x, st["best_score"])
+        st["max_diff"] = jnp.where(
+            first_hit, jnp.minimum(xmm + xgo + xge + 1, S.p_maxdiff),
+            st["max_diff"])
+        width_tot = jnp.sum(jnp.where(rowsI < cnt_c, nxtU - nxtL + 1, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32)
+        is_best = score_x == st["best_score"]
+        stop_x = fin & ~is_best & (st["num_best"] > S.p_maxbest)
+        st["num_best"] = st["num_best"] + jnp.where(fin & is_best,
+                                                    width_tot, 0)
+        st["mode"] = jnp.where(
+            stop_x, jnp.int32(MODE_DONE),
+            jnp.where(fin & ~stop_x, jnp.int32(MODE_EMIT),
+                      jnp.where(dead, jnp.int32(MODE_DFS), st["mode"])))
+        st["x_emit"] = jnp.where(fin & ~stop_x, 0, st["x_emit"])
+        # write the modified next-list back into the physical planes
+        pL0 = jnp.where(par0 == 0, pL0, nxtL)
+        pU0 = jnp.where(par0 == 0, pU0, nxtU)
+        pL1 = jnp.where(par0 == 0, nxtL, pL1)
+        pU1 = jnp.where(par0 == 0, nxtU, pU1)
+
+        # ------------- chunked emission (add_alignment, align.c:271-298)
+        lanese = st["mode"] == MODE_EMIT
+        curLe = jnp.where(st["x_par"] == 0, pL0, pL1)
+        curUe = jnp.where(st["x_par"] == 0, pU0, pU1)
+        a_i = xm1 & 0xFF
+        add_len = ((xm1 >> _SH_PLEN) & 0x1FF) + a_i
+        snp_x = st["x_m2"] & 0xFF
+        col_a = _iota((S.ACAP, B0), 0)
+        for t in range(S.EC):
+            sIdx = st["x_emit"] + t
+            ok = lanese & (sIdx < st["x_cnt"])
+            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
+            Lv = _pick_rows(curLe, sc, S.XCAP)
+            Uv = _pick_rows(curUe, sc, S.XCAP)
+            dup = jnp.any((st["o_L"] == Lv) & (st["o_U"] == Uv)
+                          & (col_a < st["n_alns"]), axis=0, keepdims=True)
+            ok = ok & ~(dup & (xgo > 0))
+            full = ok & (st["n_alns"] >= S.ACAP)
+            ok = ok & ~full
+            st["overflow"] = st["overflow"] | full
+            st["ovwhy"] = st["ovwhy"] | jnp.where(full, 2, 0)
+            sel = ok & (col_a == st["n_alns"])
+            st["o_L"] = jnp.where(sel, Lv, st["o_L"])
+            st["o_U"] = jnp.where(sel, Uv, st["o_U"])
+            st["o_score"] = jnp.where(sel, score_x, st["o_score"])
+            st["o_len"] = jnp.where(sel, add_len, st["o_len"])
+            st["o_node"] = jnp.where(sel, st["x_node"], st["o_node"])
+            st["o_m1"] = jnp.where(sel, xm1, st["o_m1"])
+            st["o_snp"] = jnp.where(sel, snp_x, st["o_snp"])
+            st["n_alns"] = st["n_alns"] + ok.astype(jnp.int32)
+        st["x_emit"] = jnp.where(lanese, st["x_emit"] + S.EC, st["x_emit"])
+        st["mode"] = jnp.where(lanese & (st["x_emit"] >= st["x_cnt"]),
+                               jnp.int32(MODE_DFS), st["mode"])
 
     # ------------------------------- DFS step (engine/inexact.py:dfs_step)
     lanes = st["mode"] == MODE_DFS
@@ -492,6 +684,7 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     escore = bucket
     head = jnp.where(lanes & (row_b == bucket), prev, head)
     st["n_open"] = st["n_open"] - lanes.astype(jnp.int32)
+    st["n_work"] = st["n_work"] + lanes.astype(jnp.int32)
 
     stop = lanes & (escore > st["best_score"] + S.p_mm)
     st["mode"] = jnp.where(stop, jnp.int32(MODE_DONE), st["mode"])
@@ -516,9 +709,21 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     st["x_m2"] = jnp.where(to_exact, m2, st["x_m2"])
     st["x_j"] = jnp.where(to_exact, ei - 1, st["x_j"])
     st["x_cnt"] = jnp.where(to_exact, 1, st["x_cnt"])
-    xz = _iota((S.KX, B0), 0)
-    st["x_L"] = jnp.where(to_exact, jnp.where(xz == 0, eL, 0), st["x_L"])
-    st["x_U"] = jnp.where(to_exact, jnp.where(xz == 0, eU, -1), st["x_U"])
+    if xzp is None:
+        xz = _iota((S.KX, B0), 0)
+        st["x_L"] = jnp.where(to_exact, jnp.where(xz == 0, eL, 0),
+                              st["x_L"])
+        st["x_U"] = jnp.where(to_exact, jnp.where(xz == 0, eU, -1),
+                              st["x_U"])
+    else:
+        # seed the chunked scan: list = [(eL, eU)] in plane 0
+        st["x_par"] = jnp.where(to_exact, 0, st["x_par"])
+        st["x_rd"] = jnp.where(to_exact, 0, st["x_rd"])
+        st["x_wr"] = jnp.where(to_exact, 0, st["x_wr"])
+        st["x_tU"] = jnp.where(to_exact, -2, st["x_tU"])
+        rowsIx = _iota((S.XCAP, B0), 0)
+        pL0 = jnp.where(to_exact & (rowsIx == 0), eL, pL0)
+        pU0 = jnp.where(to_exact & (rowsIx == 0), eU, pU0)
     live = live & ~to_exact
 
     # expansion ranks (rank_all_dfs_pair on the pre-gathered row pair)
@@ -615,8 +820,10 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         base = S.NROOT + jnp.minimum(fcnt, S.NFRAME) * S.NSLOT
         frame_over = fcnt >= S.NFRAME
         st["overflow"] = st["overflow"] | path_over | (lanes & frame_over)
+        st["ovwhy"] = st["ovwhy"] | jnp.where(lanes & frame_over, 8, 0)
         st["mode"] = jnp.where(lanes & frame_over, jnp.int32(MODE_DONE),
                                st["mode"])
+    st["ovwhy"] = st["ovwhy"] | jnp.where(path_over, 4, 0)
 
     # score-bucket linking: sequential LIFO push of slots 0..NSLOT-1
     # (inexact_match.c:510-610).  A push's score is the parent's score
@@ -682,9 +889,26 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     bucket2 = jnp.min(jnp.where(occ2, row_b, S.NB), axis=0, keepdims=True)
     node_next = _pick_rows(head, bucket2, S.NB)
     len_m1 = LEN - 1
-    xs_live = _iota((S.KX, B0), 0) < st["x_cnt"]
-    qL = jnp.where(xs_live, st["x_L"] - 1, 0)
-    qU = jnp.where(xs_live, st["x_U"], 0)
+    if xzp is None:
+        xs_live = _iota((S.KX, B0), 0) < st["x_cnt"]
+        qL = jnp.where(xs_live, st["x_L"] - 1, 0)
+        qU = jnp.where(xs_live, st["x_U"], 0)
+    else:
+        # next wave's rank streams: slots x_rd .. x_rd+KX-1 of the (post-
+        # swap / post-to_exact) current list plane
+        curLf = jnp.where(st["x_par"] == 0, pL0, pL1)
+        curUf = jnp.where(st["x_par"] == 0, pU0, pU1)
+        qLs, qUs = [], []
+        for k in range(S.KX):
+            sIdx = st["x_rd"] + k
+            live_k = sIdx < st["x_cnt"]
+            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
+            Lk = _pick_rows(curLf, sc, S.XCAP)
+            Uk = _pick_rows(curUf, sc, S.XCAP)
+            qLs.append(jnp.where(live_k, Lk - 1, 0))
+            qUs.append(jnp.where(live_k, Uk, 0))
+        qL = jnp.concatenate(qLs, axis=0)
+        qU = jnp.concatenate(qUs, axis=0)
     kxL = jnp.clip(qL, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
     kxU = jnp.clip(qU, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
 
@@ -693,7 +917,9 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         [st["mode"], st["best_score"], st["max_diff"], st["num_best"],
          st["n_alns"], st["overflow"].astype(jnp.int32), st["n_open"],
          st["n_pushed"], st["x_cnt"], st["x_j"], st["x_node"], st["x_m1"],
-         st["x_m2"], lanes.astype(jnp.int32), zero, zero], axis=0)
+         st["x_m2"], lanes.astype(jnp.int32), st["n_work"],
+         st["ovwhy"], st["x_rd"], st["x_wr"], st["x_par"], st["x_tU"],
+         st["x_emit"]] + [zero] * (NSV - 21), axis=0)
     oa_n = jnp.concatenate(
         [st["o_L"], st["o_U"], st["o_score"], st["o_len"], st["o_node"],
          st["o_m1"], st["o_snp"]], axis=0)
@@ -704,6 +930,8 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     nxt = jnp.concatenate(
         [node_next, kxL, kxU,
          jnp.zeros((S.NXW - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
+    if xzp is not None:
+        return head, sv_n, oa_n, xa_n, cnd, nxt, (pL0, pU0, pL1, pU1)
     return head, sv_n, oa_n, xa_n, cnd, nxt
 
 
@@ -743,7 +971,7 @@ def _resident_kernel(S: _Static, *refs):
     (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
      head_i, sv_i, oa_i, xa_i, nxt_i, tbl_ref, aN_i,
      scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o,
-     popbuf, fatbuf, framebuf, stage, sidx,
+     popbuf, fatbuf, framebuf, stage, sidx, xzbuf,
      psem, fsem, wsem, ssem) = refs
     B = head_i.shape[1]
     SH = stage.shape[0]
@@ -841,9 +1069,19 @@ def _resident_kernel(S: _Static, *refs):
         rows = jnp.concatenate(slabs, axis=0)              # [RQ*32, B]
 
         # ---- 3. the shared per-iteration compute
-        head_n, sv_n, oa_n, xa_n, cnd, nxt_n = _iter_math(
-            S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
-            dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:], xa_o[:])
+        if S.XCAP > 0:
+            X = S.XCAP
+            xzp = (xzbuf[0 * X:1 * X, :], xzbuf[1 * X:2 * X, :],
+                   xzbuf[2 * X:3 * X, :], xzbuf[3 * X:4 * X, :])
+            head_n, sv_n, oa_n, xa_n, cnd, nxt_n, xz_n = _iter_math(
+                S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
+                dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:],
+                xa_o[:], xzp=xzp)
+            xzbuf[:] = jnp.concatenate(xz_n, axis=0)
+        else:
+            head_n, sv_n, oa_n, xa_n, cnd, nxt_n = _iter_math(
+                S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
+                dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:], xa_o[:])
         head_o[:] = head_n
         sv_o[:] = sv_n
         oa_o[:] = oa_n
@@ -917,8 +1155,8 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
          state["num_best"], state["n_alns"],
          state["overflow"].astype(jnp.int32), state["n_open"],
          state["n_pushed"], state["x_cnt"], state["x_j"], state["x_node"],
-         state["x_m1"], state["x_m2"], jnp.zeros((B,), jnp.int32),
-         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)], axis=0)
+         state["x_m1"], state["x_m2"]]
+        + [jnp.zeros((B,), jnp.int32)] * (NSV - 13), axis=0)
     oa0 = jnp.concatenate(
         [state["o_L"].T, state["o_U"].T, state["o_score"].T,
          state["o_len"].T, state["o_node"].T, state["o_m1"].T,
@@ -957,6 +1195,7 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
         pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
         pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
+        pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz planes
         pltpu.SemaphoreType.DMA(()),                       # psem
         pltpu.SemaphoreType.DMA(()),                       # fsem
         pltpu.SemaphoreType.DMA(()),                       # wsem
@@ -994,6 +1233,7 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
         o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
         x_L=xa_n[:S.KX].T, x_U=xa_n[S.KX:].T,
+        n_work=sv[_SV_NWORK], ovwhy=sv[_SV_OVWHY],
         iters=scal_o[0, _SC_ITER], fcnt=scal_o[0, _SC_FCNT],
     )
     return out
@@ -1133,7 +1373,7 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
             [d["mode"], d["best_score"], d["max_diff"], d["num_best"],
              d["n_alns"], d["overflow"].astype(jnp.int32), d["n_open"],
              d["n_pushed"], d["x_cnt"], d["x_j"], d["x_node"], d["x_m1"],
-             d["x_m2"], zb, zb, zb], axis=0)
+             d["x_m2"]] + [zb] * (NSV - 13), axis=0)
         oa = jnp.concatenate(
             [d["o_L"].T, d["o_U"].T, d["o_score"].T, d["o_len"].T,
              d["o_node"].T, d["o_m1"].T, d["o_snp"].T], axis=0)
@@ -1268,8 +1508,8 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
          state["num_best"], state["n_alns"],
          state["overflow"].astype(jnp.int32), state["n_open"],
          state["n_pushed"], state["x_cnt"], state["x_j"], state["x_node"],
-         state["x_m1"], state["x_m2"], jnp.zeros((B,), jnp.int32),
-         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)], axis=0)
+         state["x_m1"], state["x_m2"]]
+        + [jnp.zeros((B,), jnp.int32)] * (NSV - 13), axis=0)
     oa0 = jnp.concatenate(
         [state["o_L"].T, state["o_U"].T, state["o_score"].T,
          state["o_len"].T, state["o_node"].T, state["o_m1"].T,
@@ -1320,6 +1560,7 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
         o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
         x_L=carry["xa"][:S.KX].T, x_U=carry["xa"][S.KX:].T,
+        n_work=sv[_SV_NWORK], ovwhy=sv[_SV_OVWHY],
         iters=carry["iters"], fcnt=carry["fcnt"],
     )
     if QU:

@@ -417,6 +417,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     root_plen = int(params.precalc_len) if precalc is not None else 0
     counters = {"fallback_reads": 0, "retried_reads": 0}
     results: list = [None] * reads.count
+    fail_why: dict[int, int] = {}   # overflow reason bits per failed read
 
     def run_tier(sel_all: np.ndarray | None, tier_cfg: EngineConfig,
                  tier_B: int, on_failed=None, sel_gen=None) -> list[int]:
@@ -473,6 +474,8 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             res = h["res"]
             n_alns = np.asarray(res["n_alns"])
             overflow = np.asarray(res["overflow"]) | h["seed_over"]
+            why = (np.asarray(res["ovwhy"]) if "ovwhy" in res
+                   else np.zeros(h["nb"], np.int32))
             o = {k: np.asarray(v) for k, v in res.items()
                  if k.startswith("o_")}
 
@@ -508,6 +511,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                 orig = int(sel[b])
                 if overflow[b]:
                     launch_failed.append(orig)
+                    fail_why[orig] = int(why[b]) if b < why.shape[0] else 0
                     continue
                 alns = []
                 for k in range(int(n_alns[b])):
@@ -583,19 +587,33 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         except Exception:
             pool = None
 
+    # The resident multi-pop kernel (engine/kernel.py) runs the whole
+    # search loop inside one pallas_call (~76 ns/lane-iteration at B=1024
+    # vs ~0.9 us/pop for the native gold engine on one core), so when it
+    # covers the config the device owns the heavy tail: deep narrow-lane
+    # resident tiers replace most host fallback, and only reads beyond
+    # the deepest tier's frame budget go to gold.
+    import jax as _jax
+    resident_on = (cfg.backend != "xla" and params.is_multiref
+                   and mesh is None and precalc is None
+                   and str(didx.idt) != "int64"
+                   and _jax.default_backend() == "tpu"
+                   and B % 128 == 0 and B <= 1024)
+    if resident_on:
+        # xcap=128: chunked exact completion — covers every interval-list
+        # width observed on the chr21 worlds (p99 max ~85, never >256),
+        # so kx-overflow fallback disappears (kx becomes slots-per-wave)
+        cfg = dataclasses.replace(cfg, backend="resident", xcap=128)
+
     # Pre-route the per-chunk hardest quantile straight to gold as each D
-    # chunk lands: measured on the chr21 world the top 25% by difficulty
-    # fail the primary tier at ~99% (kx interval-slot overflow in dense
-    # IUPAC regions happens within ~3k pops), so trying them on-device
-    # wastes the launch AND delays the gold worker's start by the whole
-    # dbounds phase.  Chunks are i.i.d. samples of the read set, so a
-    # per-chunk quantile tracks the global one.
+    # chunk lands (keeps the host pool busy during the D phase).  With the
+    # resident kernel the device runs ~13M pops/s vs ~1.1M for one host
+    # core, so the host's economic share is small; without it the round-2
+    # balance (3/8) applies.
     routed = np.zeros(reads.count, dtype=bool)
-    # balance: the tier quantizes to ceil(device_reads / B) launches, and
-    # with the round-2 native gold (~1.5 ms/read on the tail) the pool
-    # absorbs 3/8 of the reads in less wall time than the launches they
-    # would otherwise fill (measured on the chr21 world)
-    route_frac = 0.375 if (pool is not None and sort_reads) else 0.0
+    route_frac = 0.0
+    if pool is not None and sort_reads:
+        route_frac = 0.0625 if resident_on else 0.375
 
     def _route_chunk(gi: np.ndarray, zc: np.ndarray):
         k = int(gi.size * route_frac)
@@ -657,7 +675,11 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
 
         try:
             t0s = _time0.time()
-            failed = run_tier(None, cfg, B, on_failed=pool.submit,
+            # with the resident deep tiers available, primary-tier failures
+            # retry on-device (narrow lanes, ~91k-pop frame budget) instead
+            # of streaming to the one-core host pool
+            failed = run_tier(None, cfg, B,
+                              on_failed=None if resident_on else pool.submit,
                               sel_gen=_stream_batches())
             counters["prerouted"] = int(routed.sum())
             counters["streamed"] = True
@@ -665,6 +687,37 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             counters["tiers"] = [dict(
                 B=B, cap=int(cfg.cap), reads=int(reads.count - routed.sum()),
                 failed=len(set(failed)), sec=round(_time0.time() - t0s, 2))]
+            if resident_on and failed:
+                # xcap-overflow reads (ovwhy bit 1 — none observed on the
+                # chr21 worlds at xcap=128) go to gold; everything else
+                # (frame budget / acap) retries on the deep resident tier,
+                # which raises per-read frames ~16x at constant memory
+                kx_bound = [r for r in set(failed) if fail_why.get(r, 0) & 1]
+                if kx_bound:
+                    pool.submit(sorted(kx_bound))
+                failed = [r for r in set(failed)
+                          if not (fail_why.get(r, 0) & 1)]
+                cell = max(int(cfg.cap) * B, 1 << 25)
+                for deep_B, deep_kx in ((128, 2),):
+                    if not failed:
+                        break
+                    sel_d = np.array(sorted(set(failed)), dtype=np.int64)
+                    deep_cap = min(cell // deep_B, 4 << 20)
+                    deep_cfg = dataclasses.replace(
+                        cfg, cap=deep_cap, acap=max(cfg.acap, 64),
+                        kx=max(cfg.kx, deep_kx),
+                        max_iters=max(cfg.max_iters, deep_cap // 23 + 1024))
+                    td0 = _time0.time()
+                    counters["retried_reads"] += int(sel_d.size)
+                    failed = run_tier(sel_d, deep_cfg,
+                                      min(deep_B, _pow2_at_least(
+                                          sel_d.size, lo=128)))
+                    counters["tiers"].append(dict(
+                        B=deep_B, cap=int(deep_cap), reads=int(sel_d.size),
+                        failed=len(set(failed)),
+                        sec=round(_time0.time() - td0, 2)))
+                if failed:
+                    pool.submit(sorted(set(failed)))
             # device-search wall time: the tier span minus the host scan
             # that ran interleaved inside it
             counters["t_search"] = round(
@@ -694,22 +747,18 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         z = difficulty_scores(didx, reads, params, D_all=D_all)
         order = order[np.argsort(z[order], kind="stable")]
 
-    import jax as _jax
     pallas_on = (cfg.backend != "xla" and params.is_multiref
                  and mesh is None and precalc is None
                  and str(didx.idt) != "int64"
                  and _jax.default_backend() == "tpu")
     if pool is not None:
         if deep_tiers is None:
-            # measured (chr21 world, real chip): the heavy tail is SERIAL-
-            # iteration-bound — a hard read needs ~10^5 serial iterations
-            # (pops + exact-completion chars share the lockstep clock), so
-            # even the Pallas body's 14 us/iteration at B=128 gives
-            # ~195 ms/read vs native gold's ~8 ms/read (0.9 us/pop with no
-            # lockstep latency).  Deep tiers lose to gold at ANY lane
-            # count until the engine can pop multiple nodes of one read
-            # per iteration; keep the tail on the host pool.
-            deep_tiers = False
+            # resident kernel: deep narrow-lane tiers run ~32 us/iteration
+            # at B=128 (multi-pop, no launch overhead) and beat the native
+            # gold engine on the heavy tail, so they stay ON.  Without it
+            # the tail is serial-iteration-bound on the per-iteration
+            # kernel (~195 ms/read vs gold's ~8 ms) and stays on the host.
+            deep_tiers = resident_on
         if sort_reads:
             order = order[::-1]
         dov_sel = np.flatnonzero(dov_all & ~routed)
@@ -748,8 +797,12 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         deep_tiers = not (params.is_multiref and _nat is not None
                           and getattr(_nat, "_has_gold", False))
     cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
-    ladder = ((1024, 8), (256, 8), (128, 16)) if pallas_on \
-        else ((1024, 8), (256, 8), (64, 16))
+    if resident_on:
+        ladder = ((128, 2),)
+    elif pallas_on:
+        ladder = ((1024, 8), (256, 8), (128, 16))
+    else:
+        ladder = ((1024, 8), (256, 8), (64, 16))
     for deep_B, deep_kx in (ladder if deep_tiers else ()):
         if deep_B < B:
             deep_cap = min(cell // deep_B, 4 << 20)

@@ -680,6 +680,11 @@ inline void add_intv(std::vector<std::pair<int64_t, int64_t>>& v, int64_t L,
     v.emplace_back(L, U);
 }
 
+// exact-completion interval-list statistics (device-engine KX sizing):
+// max list size and total list-size-steps across all completions since the
+// last reset.  Thread-local: the gold pool forks worker processes.
+thread_local int64_t g_xlist_max = 0, g_xlist_total = 0;
+
 // exact completion scan (exact_match_bounded, exact_match.c:66-119)
 std::vector<std::pair<int64_t, int64_t>> exact_bounded(
     const DIdx& ix, const GoldTables& t, const int8_t* read, int64_t l,
@@ -711,6 +716,8 @@ std::vector<std::pair<int64_t, int64_t>> exact_bounded(
       }
     }
     curr.swap(nxt);
+    if ((int64_t)curr.size() > g_xlist_max) g_xlist_max = curr.size();
+    g_xlist_total += (int64_t)curr.size();
     if (curr.empty()) break;
   }
   return curr;
@@ -965,6 +972,16 @@ int64_t gold_align_impl(
 }
 
 }  // namespace
+
+extern "C" void bwbble_xlist_reset() {
+  g_xlist_max = 0;
+  g_xlist_total = 0;
+}
+
+extern "C" int64_t bwbble_xlist_stats(int64_t* total) {
+  if (total) *total = g_xlist_total;
+  return g_xlist_max;
+}
 
 extern "C" int64_t bwbble_gold_align_multiref(
     const uint64_t* planes, int64_t nwords, const int64_t* occ,

@@ -178,6 +178,143 @@ def test_resident_kernel_matches_xla_body(world):
                                       p_got[:len(lanes_l)])
 
 
+def test_resident_xcap_matches_gold(tmp_path):
+    """Chunked exact completion (cfg.xcap): on an IUPAC-dense world whose
+    completion interval lists blow past the legacy kx slots, the resident
+    kernel must resolve the reads (no overflow) and match the gold engine
+    alignment-for-alignment — the capability that lets the device own the
+    reads the round-2 engine shipped to the host for kx overflow."""
+    from bwbble_tpu.align.pipeline import align_read_gold
+    from bwbble_tpu.engine.pipeline import _reconstruct_path
+
+    rng = np.random.default_rng(991)
+    base = rng.integers(0, 4, size=1500)             # nt4 over a 500-block
+    block = base.copy()
+    seq_blocks = []
+    for rep in range(3):                             # repeats widen lists
+        blk = block.copy()
+        mut = rng.random(blk.size) < (0.02 * rep)
+        blk[mut] = rng.integers(0, 4, size=int(mut.sum()))
+        seq_blocks.append(blk)
+    acgt_codes = np.array([8, 4, 2, 1], dtype=np.uint8)   # A,C,G,T masks
+    cat = np.concatenate(seq_blocks)
+    codes = acgt_codes[cat]
+    # fold SNPs in: ~1/12 positions gain a second base bit (IUPAC code)
+    snp = rng.random(codes.size) < 1 / 6.0
+    other = acgt_codes[rng.integers(0, 4, size=codes.size)]
+    codes = np.where(snp, codes | other, codes).astype(np.uint8)
+    # through fasta2ref so the index carries the IUPAC reverse complement
+    # (io.c:190-321) — searches run on the read's RC against fwd+RC
+    from bwbble_tpu.formats.fasta import fasta2ref
+    mask_to_char = {1: "T", 2: "G", 4: "C", 8: "A", 3: "K", 5: "Y",
+                    6: "S", 9: "W", 10: "R", 12: "M", 7: "B", 11: "D",
+                    13: "H", 14: "V", 15: "N"}
+    fa = tmp_path / "w.fa"
+    fa.write_text(">c\n" + "".join(mask_to_char[int(m)] for m in codes)
+                  + "\n")
+    out_codes, _ = fasta2ref(str(fa), str(tmp_path / "w.ref"),
+                             str(tmp_path / "w.ann"))
+    idx = FMIndex.build(out_codes)
+    didx = DI.from_fmindex(idx)
+
+    L = 48
+    nt4 = {0: "A", 1: "C", 2: "G", 3: "T"}
+    reads = []
+    for r in range(32):
+        s = int(rng.integers(0, base.size - L))
+        frag = [nt4[int(x)] for x in base[s:s + L]]
+        for _ in range(int(rng.integers(0, 3))):
+            frag[int(rng.integers(0, L))] = nt4[int(rng.integers(0, 4))]
+        reads.append("".join(frag))
+    fq = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                 for i, s in enumerate(reads))
+    rd = parse_fastq_bytes(fq.encode())
+
+    params = AlnParams(max_diff=3, batch_size=128)
+    base_cfg = EngineConfig(cap=131072, acap=24, kx=2, max_iters=60_000)
+
+    # EXACT D bounds via the native unbounded-list scanner: the device
+    # K-capped D pass overflows wholesale on this IUPAC density (the
+    # pipeline escalates exactly like this; a clipped D over-prunes)
+    from bwbble_tpu.engine.pipeline import native_scan_chunks
+    B = 128
+    Lmax = rd.max_len
+    D_np = np.zeros((B, Lmax + 1, 2), dtype=np.int32)
+    Ds_np = np.zeros((B, int(params.seed_length) + 1, 2), dtype=np.int32)
+    for gi, Dch, Dsch, _zc in native_scan_chunks(idx, rd, params, B):
+        D_np[gi[0]:gi[-1] + 1] = Dch
+        Ds_np[gi[0]:gi[-1] + 1] = Dsch
+    D_np[rd.count:] = D_np[0]
+    Ds_np[rd.count:] = Ds_np[0]
+
+    def _run_exact_d(cfg_):
+        rc = np.zeros((B, Lmax), dtype=np.int8)
+        rc[:rd.count] = rd.rc
+        rc[rd.count:] = rd.rc[0]
+        lengths = np.full(B, rd.lengths[0], dtype=np.int32)
+        lengths[:rd.count] = rd.lengths
+        res = inexact_search(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                             jnp.asarray(D_np), jnp.asarray(Ds_np),
+                             params, cfg_)
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    # legacy kx path must overflow on some reads here (the scenario)
+    ref = _run_exact_d(dataclasses.replace(base_cfg, backend="xla"))
+    assert ref["overflow"][:rd.count].sum() > 0, \
+        "world too easy: legacy kx path did not overflow"
+
+    PK.INTERPRET = True
+    try:
+        got = _run_exact_d(dataclasses.replace(base_cfg, backend="resident",
+                                               xcap=128))
+    finally:
+        PK.INTERPRET = False
+    assert got["overflow"][:rd.count].sum() == 0, \
+        f"resident xcap still overflowed {got['overflow'][:rd.count].sum()}"
+
+    # alignment-for-alignment parity vs the gold engine, paths included
+    lanes_l, nodes_l = [], []
+    for b in range(rd.count):
+        for k in range(int(got["n_alns"][b])):
+            lanes_l.append(b)
+            nodes_l.append(int(got["o_node"][b, k]))
+    paths = {}
+    if lanes_l:
+        W = max(256, len(lanes_l))
+        lanes_a = np.zeros(W, dtype=np.int32)
+        nodes_a = np.full(W, -1, dtype=np.int32)
+        lanes_a[:len(lanes_l)] = lanes_l
+        nodes_a[:len(nodes_l)] = nodes_l
+        pr = np.asarray(walk_paths(got["arena"], jnp.asarray(lanes_a),
+                                   jnp.asarray(nodes_a), nroot=1,
+                                   nslot=23, nc=11,
+                                   pathcap=rd.max_len + 32))
+        for w, (b, _n) in enumerate(zip(lanes_l, nodes_l)):
+            paths.setdefault(b, []).append(pr[w])
+
+    n_exercised = 0
+    for b in range(rd.count):
+        gold = align_read_gold(idx, rd.seq[b], rd.rc[b],
+                               int(rd.lengths[b]), params)
+        assert int(got["n_alns"][b]) == len(gold), f"read {b} count"
+        if ref["overflow"][b] and len(gold):
+            n_exercised += 1
+        for k, ga in enumerate(gold):
+            assert int(got["o_L"][b, k]) == ga.L, f"read {b} aln {k} L"
+            assert int(got["o_U"][b, k]) == ga.U
+            assert int(got["o_score"][b, k]) == ga.score
+            assert int(got["o_mm"][b, k]) == ga.num_mm
+            assert int(got["o_go"][b, k]) == ga.num_gapo
+            assert int(got["o_ge"][b, k]) == ga.num_gape
+            assert int(got["o_snp"][b, k]) & 0xFF == ga.num_snps
+            assert int(got["o_len"][b, k]) == ga.aln_length
+            path = _reconstruct_path(paths[b][k],
+                                     int(got["o_plen"][b, k]),
+                                     int(got["o_len"][b, k]), 0)
+            assert path == ga.path, f"read {b} aln {k} path"
+    assert n_exercised > 0, "no read exercised the wide-list path"
+
+
 def test_kernel_queued_matches_xla_body(world):
     """Queue mode (ring arena + flush/refill + flush-time path walks)
     through the Pallas kernel must reproduce the XLA queue loop exactly."""
