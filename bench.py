@@ -263,7 +263,7 @@ def main():
         # escalating to (256, 64)-lane deep tiers; D bounds need K=64
         # interval slots on IUPAC-dense references
         params = AlnParams(max_diff=4, batch_size=1024)
-        cfg = EngineConfig(cap=262144, acap=24, kx=2, max_iters=500_000)
+        cfg = EngineConfig(cap=327680, acap=24, kx=2, max_iters=500_000)
         d_cap = 64
 
     # chr21: fixed difficulty-sorted batches + native-gold tail (queue

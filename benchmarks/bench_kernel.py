@@ -61,13 +61,14 @@ def main():
           f"dbounds={time.time() - t0:.1f}s")
 
     kx = int(sys.argv[sys.argv.index("--kx") + 1]) if "--kx" in sys.argv else 4
+    xcap = int(sys.argv[sys.argv.index("--xcap") + 1]) if "--xcap" in sys.argv else 0
     backends = ("xla", "pallas", "resident")
     if "--resident" in sys.argv:
         backends = ("resident",)
     elif "--pallas" in sys.argv:
         backends = ("pallas",)
     for backend in backends:
-        cfg = EngineConfig(cap=cap, acap=24, kx=kx, max_iters=iters_cap,
+        cfg = EngineConfig(cap=cap, acap=24, kx=kx, xcap=xcap, max_iters=iters_cap,
                            backend=backend)
         rc0, ln0, D0, Ds0 = batches[0]
         t0 = time.time()

@@ -138,7 +138,15 @@ class _Static:
         # makes the device own every read the round-2 engine shipped to
         # the host for kx overflow.
         self.XCAP = int(getattr(cfg, "xcap", 0))
-        self.EC = 8          # emission slots per wave (MODE_EMIT)
+        # deferred DFS-resume (a lane finishing its exact scan pops next
+        # wave): only worthwhile with per-lane DMA issue skipping, which
+        # measured SLOWER on v5e — both default off (BWBBLE_RESIDENT_OPT)
+        self.DEFER = False
+        # overlapped frame write (wait at next wave start): toggled for
+        # measurement via BWBBLE_WR_OVERLAP
+        self.WROVL = bool(int(
+            __import__("os").environ.get("BWBBLE_WR_OVERLAP", "1")))
+        self.EC = int(__import__("os").environ.get("BWBBLE_EC", "8"))
         self.CAP = int(cfg.cap)
         self.NFRAME = (self.CAP - NROOT) // self.NSLOT - 1
         self.ROWW = 128
@@ -663,11 +671,20 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
 
     # ------------------------------- DFS step (engine/inexact.py:dfs_step)
     lanes = st["mode"] == MODE_DFS
+    if xzp is not None and S.DEFER:
+        # deferred resume: a lane that finished its exact scan / emission
+        # THIS wave pops next wave instead (pure per-lane delay, output-
+        # identical) — so a lane needs either the DFS rank streams or the
+        # exact streams, never both, and the resident kernel can skip the
+        # unused per-lane DMA issues entirely
+        lanes = lanes & (sv_t[_SV_MODE:_SV_MODE + 1, :] == MODE_DFS)
     drained = lanes & (st["n_open"] == 0)
     too_many = lanes & (st["n_open"] > S.p_maxentries)
     st["mode"] = jnp.where(drained | too_many, jnp.int32(MODE_DONE),
                            st["mode"])
     lanes = st["mode"] == MODE_DFS
+    if xzp is not None and S.DEFER:
+        lanes = lanes & (sv_t[_SV_MODE:_SV_MODE + 1, :] == MODE_DFS)
 
     row_b = _iota((S.NB, B0), 0)
     occ_b = head >= 0
@@ -971,7 +988,7 @@ def _resident_kernel(S: _Static, *refs):
     (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
      head_i, sv_i, oa_i, xa_i, nxt_i, tbl_ref, aN_i,
      scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o,
-     popbuf, fatbuf, framebuf, stage, sidx, xzbuf,
+     popbuf, fatbuf, framebuf, frameT, stage, sidx, xzbuf,
      psem, fsem, wsem, ssem) = refs
     B = head_i.shape[1]
     SH = stage.shape[0]
@@ -994,15 +1011,31 @@ def _resident_kernel(S: _Static, *refs):
         cp.start()
         cp.wait()
 
+    # measured (v5e, B=1024): per-lane @pl.when-guarded DMA issue/wait
+    # loops cost MORE than unconditional issues + one full-byte wait
+    # (+28 us/wave) — the scalar branches dominate the saved issues.
+    # Kept behind an env flag for re-evaluation on other chips.
+    OPT = S.DEFER
+
     def cond(c):
-        it, fcnt, alive = c
+        it, fcnt, alive, last_w, wpend = c
         return (alive > 0) & (it < max_iters)
 
     def body(c):
-        it, fcnt, _ = c
+        it, fcnt, last_w, wpend = c[0], c[1], c[3], c[4]
         sv_t = sv_o[:]
         nxt = nxt_o[:]
         node = nxt[0:1, :]                                 # (1, B)
+        mode0 = sv_t[_SV_MODE:_SV_MODE + 1, :]
+        was_dfs = mode0 == MODE_DFS
+
+        if S.WROVL:
+            # the previous wave's frame write must land before this wave's
+            # arena reads (its row is served from frameT, so the wait
+            # mostly overlaps the whole previous back-half)
+            @pl.when(wpend > 0)
+            def _wr():
+                pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
 
         # ---- 1. pop-row fetch (mirrors glue's arena gather)
         nn = jnp.maximum(node - S.NROOT, 0)
@@ -1011,19 +1044,46 @@ def _resident_kernel(S: _Static, *refs):
             f = fq % S.NFRAME
         else:
             f = jnp.minimum(fq, S.NFRAME)                  # NAREN-1 trash ok
+        is_root = node < S.NROOT
+        if OPT:
+            # skip lanes that won't pop this wave (deferred resume), root
+            # pops (served from rtN), and pops of the frame written LAST
+            # wave (its lane-major image is still in frameT)
+            hit_last = (f == last_w) & (last_w >= 0)
+            skip = ~was_dfs | is_root | hit_last
+            f_st = jnp.where(skip, -1, f)
+        else:
+            f_st = f
         stage[:] = jnp.concatenate(
-            [f, jnp.zeros((SH - 1, B), jnp.int32)], axis=0)
+            [f_st, jnp.zeros((SH - 1, B), jnp.int32)], axis=0)
         sync_stage()
 
-        def issue_pop(b, _):
+        def issue_pop(b, _c):
             fb = sidx[0, b]
-            pltpu.make_async_copy(
-                aN_o.at[fb, b], popbuf.at[b], psem).start()
-            return _
+            if OPT:
+                @pl.when(fb >= 0)
+                def _go():
+                    pltpu.make_async_copy(
+                        aN_o.at[fb, b], popbuf.at[b], psem).start()
+                return _c
+            else:
+                pltpu.make_async_copy(
+                    aN_o.at[fb, b], popbuf.at[b], psem).start()
+            return _c
         jax.lax.fori_loop(0, B, issue_pop, 0, unroll=B)
-        pltpu.make_async_copy(aN_o.at[0], popbuf, psem).wait()
-
-        popT = popbuf[:].T                                 # [ROWW, B]
+        if OPT:
+            def wait_pop(b, _c):
+                fb = sidx[0, b]
+                @pl.when(fb >= 0)
+                def _go():
+                    pltpu.make_async_copy(
+                        aN_o.at[0, b], popbuf.at[b], psem).wait()
+                return _c
+            jax.lax.fori_loop(0, B, wait_pop, 0, unroll=B)
+            popT = jnp.where(hit_last, frameT[:], popbuf[:].T)  # [ROWW, B]
+        else:
+            pltpu.make_async_copy(aN_o.at[0], popbuf, psem).wait()
+            popT = popbuf[:].T                             # [ROWW, B]
         s_ = nn - fq * S.NSLOT                             # (1, B)
         aV = []
         for j in range(4):
@@ -1033,7 +1093,6 @@ def _resident_kernel(S: _Static, *refs):
                                 acc)
             aV.append(acc)
         aV = jnp.concatenate(aV, axis=0)                   # [4, B]
-        is_root = node < S.NROOT
         node4 = jnp.where(is_root, rtN_ref[:], aV)
 
         # ---- 2. rank fat-row fetch (streams: DFS L-1, U, exact xL/xU)
@@ -1045,22 +1104,74 @@ def _resident_kernel(S: _Static, *refs):
         subm = jnp.concatenate(
             [kAll & (S.FATB - 1),
              jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)], axis=0)
+        dedupe_src = {}
+        if OPT:
+            # per-lane stream needs: DFS lanes use streams 0-1, exact
+            # lanes use 2+k / 2+KX+k for live slots; adjacent (L-1, U)
+            # queries sharing a fat row issue once (the slab pick reads
+            # the partner stream's buffer)
+            was_x = mode0 == MODE_EXACT
+            x_rd0 = sv_t[_SV_XRD:_SV_XRD + 1, :]
+            x_cnt0 = sv_t[_SV_XCNT:_SV_XCNT + 1, :]
+            st_rows = []
+            dup1 = fat_ids[1:2, :] == fat_ids[0:1, :]
+            st_rows.append(jnp.where(was_dfs, fat_ids[0:1, :], -1))
+            st_rows.append(jnp.where(was_dfs & ~dup1, fat_ids[1:2, :], -1))
+            dedupe_src[1] = (0, dup1)
+            for k in range(S.KX):
+                live_k = was_x & ((x_rd0 + k) < x_cnt0)
+                st_rows.append(jnp.where(live_k,
+                                         fat_ids[2 + k:3 + k, :], -1))
+            for k in range(S.KX):
+                live_k = was_x & ((x_rd0 + k) < x_cnt0)
+                dupk = (fat_ids[2 + S.KX + k:3 + S.KX + k, :]
+                        == fat_ids[2 + k:3 + k, :])
+                st_rows.append(jnp.where(
+                    live_k & ~dupk, fat_ids[2 + S.KX + k:3 + S.KX + k, :],
+                    -1))
+                dedupe_src[2 + S.KX + k] = (2 + k, dupk)
+            fat_st = jnp.concatenate(st_rows, axis=0)
+        else:
+            fat_st = fat_ids
         stage[:] = jnp.concatenate(
-            [fat_ids, jnp.zeros((SH - S.RQ, B), jnp.int32)], axis=0)
+            [fat_st, jnp.zeros((SH - S.RQ, B), jnp.int32)], axis=0)
         sync_stage()
 
         for q in range(S.RQ):
-            def issue_fat(b, _, q=q):
+            def issue_fat(b, _c, q=q):
                 i = sidx[q, b]
-                pltpu.make_async_copy(
-                    tbl_ref.at[i], fatbuf.at[q * B + b], fsem).start()
-                return _
+                if OPT:
+                    @pl.when(i >= 0)
+                    def _go():
+                        pltpu.make_async_copy(
+                            tbl_ref.at[i], fatbuf.at[q * B + b],
+                            fsem).start()
+                else:
+                    pltpu.make_async_copy(
+                        tbl_ref.at[i], fatbuf.at[q * B + b], fsem).start()
+                return _c
             jax.lax.fori_loop(0, B, issue_fat, 0, unroll=B)
-        pltpu.make_async_copy(tbl_ref.at[0:S.RQ * B], fatbuf, fsem).wait()
+        if OPT:
+            for q in range(S.RQ):
+                def wait_fat(b, _c, q=q):
+                    i = sidx[q, b]
+                    @pl.when(i >= 0)
+                    def _go():
+                        pltpu.make_async_copy(
+                            tbl_ref.at[0], fatbuf.at[q * B + b],
+                            fsem).wait()
+                    return _c
+                jax.lax.fori_loop(0, B, wait_fat, 0, unroll=B)
+        else:
+            pltpu.make_async_copy(tbl_ref.at[0:S.RQ * B], fatbuf,
+                                  fsem).wait()
 
         slabs = []
         for q in range(S.RQ):
             xt = fatbuf[q * B:(q + 1) * B, :].T            # [FATW, B]
+            if q in dedupe_src:
+                p, flag = dedupe_src[q]
+                xt = jnp.where(flag, fatbuf[p * B:(p + 1) * B, :].T, xt)
             sq = subm[q:q + 1, :]
             slab = xt[0:32]
             for v in range(1, S.FATB):
@@ -1098,27 +1209,37 @@ def _resident_kernel(S: _Static, *refs):
             rows_l + [jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
             axis=0)                                        # [ROWW, B]
         framebuf[:] = frowT.T
+        if OPT:
+            frameT[:] = frowT      # lane-major image for next wave's pops
         if S.RING:
             wslot = fcnt % S.NFRAME
         else:
             wslot = jnp.minimum(fcnt, S.NFRAME)
         wcp = pltpu.make_async_copy(framebuf, aN_o.at[wslot], wsem)
         wcp.start()
-        wcp.wait()
+        if not S.WROVL:
+            wcp.wait()
 
         any_pop = jnp.sum(sv_n[_SV_POPPED:_SV_POPPED + 1, :],
                           dtype=jnp.int32) > 0
         alive = jnp.sum(
             (sv_n[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
             dtype=jnp.int32)
-        return (it + 1, fcnt + any_pop.astype(jnp.int32), alive)
+        return (it + 1, fcnt + any_pop.astype(jnp.int32), alive,
+                wslot, jnp.int32(1))
 
     alive0 = jnp.sum(
         (sv_i[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
         dtype=jnp.int32)
-    it, fcnt, _ = jax.lax.while_loop(
+    it, fcnt, _, _, wpend = jax.lax.while_loop(
         cond, body,
-        (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0))
+        (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0,
+         jnp.int32(-1), jnp.int32(0)))
+    # drain the final in-flight frame write before the kernel exits
+    if S.WROVL:
+        @pl.when(wpend > 0)
+        def _wr2():
+            pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
     scal_o[0, _SC_FCNT] = fcnt
     scal_o[0, _SC_ITER] = it
     scal_o[0, _SC_LEN] = 0
@@ -1133,6 +1254,8 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
     writes.  Results are bit-identical to run_loop/_search by
     construction (_iter_math is shared)."""
     S = _Static(params, cfg, B, Lmax, NROOT)
+    S.DEFER = S.XCAP > 0 and bool(int(
+        __import__("os").environ.get("BWBBLE_RESIDENT_OPT", "0")))
     assert NROOT == 1 and not S.RING
     NAREN = state["aN"].shape[0]
 
@@ -1193,6 +1316,7 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
         pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
+        pltpu.VMEM((S.ROWW, B), jnp.int32),                # frameT
         pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
         pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
         pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz planes
@@ -1211,7 +1335,12 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         input_output_aliases={12: 6},
         interpret=INTERPRET,
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True),
+            has_side_effects=True,
+            # the default 16 MB scoped-vmem limit is conservative; the
+            # resident kernel's working set at B=1024 with xcap=128 is
+            # ~17 MB (fatbuf + xz planes + lane tables)
+            vmem_limit_bytes=int(__import__("os").environ.get(
+                "BWBBLE_VMEM_MB", "64")) * 1024 * 1024),
     )(scal0, carrv, rtN0, rcx0, dnw0, dsw0,
       head0, sv0, oa0, xa0, nxt0, table4, state["aN"])
 

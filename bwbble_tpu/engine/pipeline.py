@@ -418,6 +418,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     counters = {"fallback_reads": 0, "retried_reads": 0}
     results: list = [None] * reads.count
     fail_why: dict[int, int] = {}   # overflow reason bits per failed read
+    work_seen: dict[int, int] = {}  # per-read n_work at failure (tier cap)
 
     def run_tier(sel_all: np.ndarray | None, tier_cfg: EngineConfig,
                  tier_B: int, on_failed=None, sel_gen=None) -> list[int]:
@@ -506,12 +507,15 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     paths_rev[key] = pr[w]
 
             sel = h["sel"]
+            nwk = (np.asarray(res["n_work"]) if "n_work" in res
+                   else np.zeros(h["nb"], np.int32))
             launch_failed: list[int] = []
             for b in range(h["nb"]):
                 orig = int(sel[b])
                 if overflow[b]:
                     launch_failed.append(orig)
                     fail_why[orig] = int(why[b]) if b < why.shape[0] else 0
+                    work_seen[orig] = int(nwk[b]) if b < nwk.shape[0] else 0
                     continue
                 alns = []
                 for k in range(int(n_alns[b])):
@@ -613,7 +617,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     routed = np.zeros(reads.count, dtype=bool)
     route_frac = 0.0
     if pool is not None and sort_reads:
-        route_frac = 0.0625 if resident_on else 0.375
+        route_frac = 0.025 if resident_on else 0.375
 
     def _route_chunk(gi: np.ndarray, zc: np.ndarray):
         k = int(gi.size * route_frac)
@@ -644,6 +648,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         D_all = np.zeros((reads.count, Lmax_s + 1, 2), dtype=np_dt)
         Ds_all = np.zeros((reads.count, max(seed_len_s, 1) + 1, 2),
                           dtype=np_dt)
+        z_all = np.zeros(reads.count, dtype=np.int64)
         t_scan = [0.0]
 
         def _stream_batches():
@@ -654,6 +659,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     idx, reads, params, B, np_dt):
                 D_all[gi[0]:gi[-1] + 1] = Dch
                 Ds_all[gi[0]:gi[-1] + 1] = Dsch
+                z_all[gi[0]:gi[-1] + 1] = zc
                 _route_chunk(gi, zc)
                 keep = ~routed[gi]
                 pend_i = np.concatenate([pend_i, gi[keep]])
@@ -697,11 +703,26 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     pool.submit(sorted(kx_bound))
                 failed = [r for r in set(failed)
                           if not (fail_why.get(r, 0) & 1)]
+                # the measured-hardest slice (top n_work at the tier cap is
+                # a lower bound on remaining work) goes to the host pool,
+                # which chews it while the deep tier runs; stay inside the
+                # 5% fallback budget overall
+                budget = max(int(0.045 * reads.count) - pool.submitted
+                             - len(kx_bound), 0)
+                hardest = sorted(
+                    failed, key=lambda r: (-z_all[r], -work_seen.get(r, 0)))
+                to_gold = hardest[:min(budget, len(failed) // 4)]
+                if to_gold:
+                    pool.submit(to_gold)
+                failed = hardest[len(to_gold):]
                 cell = max(int(cfg.cap) * B, 1 << 25)
                 for deep_B, deep_kx in ((128, 2),):
                     if not failed:
                         break
-                    sel_d = np.array(sorted(set(failed)), dtype=np.int64)
+                    # lockstep launches pay max-over-lanes iterations:
+                    # order retries by MEASURED work so batches are
+                    # homogeneous (descending: hardest surface first)
+                    sel_d = np.array(failed, dtype=np.int64)
                     deep_cap = min(cell // deep_B, 4 << 20)
                     deep_cfg = dataclasses.replace(
                         cfg, cap=deep_cap, acap=max(cfg.acap, 64),
