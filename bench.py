@@ -266,16 +266,21 @@ def main():
         cfg = EngineConfig(cap=327680, acap=24, kx=2, max_iters=500_000)
         d_cap = 64
 
-    # chr21: fixed difficulty-sorted batches + native-gold tail (queue
-    # refills mid-launch start reads with partial frame budgets and
-    # overflow them spuriously); easy: continuous batching
+    # chr21 runs fixed difficulty-sorted batches: the ring-queue resident
+    # mode was measured SLOWER here — ring age counts exact-completion
+    # waves (a read in a long chunked completion loses its arena history
+    # after NFRAME global waves), while fixed mode lets exact scans run
+    # past the frame budget; >35% of this workload is exact-heavy, and
+    # doomed reads burn their full ring budget before failing.  Easy
+    # worlds (pop-bounded reads) keep continuous batching.
     queued = easy
+    qchunk = 2
     if not easy:
         idx.bit_planes()   # native gold rank substrate, built once
 
     # warm-up: one full pass compiles every shape
     align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
-                       queued=queued)
+                       queued=queued, qchunk=qchunk)
     _ph("warm-up done")
 
     import resource
@@ -284,7 +289,7 @@ def main():
     c0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t1 = time.time()
     alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
-                              stats=stats, queued=queued)
+                              stats=stats, queued=queued, qchunk=qchunk)
     dt = time.time() - t1
     r1 = resource.getrusage(resource.RUSAGE_SELF)
     c1 = resource.getrusage(resource.RUSAGE_CHILDREN)

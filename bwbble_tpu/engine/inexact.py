@@ -910,6 +910,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         if cfg.backend == "resident" and not QUEUED:
             st = _pk.run_loop_resident(didx, state, params, cfg, B, Lmax,
                                        NROOT)
+        elif cfg.backend == "resident":
+            st = _pk.run_loop_resident_queued(
+                didx, state, params, cfg, B, Lmax, NROOT,
+                queued_ctx=dict(switch_step=switch_step, NR=NR, FL=FL))
         else:
             qctx = dict(switch_step=switch_step, NR=NR, FL=FL) if QUEUED \
                 else None

@@ -965,7 +965,8 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
 # VPU compute — and the XLA glue, launch overhead, and transfer chatter
 # disappear entirely.  One launch runs a whole batch to completion.
 
-_SC_FCNT, _SC_LEN, _SC_ITER, _SC_MAXIT, _SC_ALIVE = 0, 1, 2, 3, 4
+(_SC_FCNT, _SC_LEN, _SC_ITER, _SC_MAXIT, _SC_CNTR, _SC_NR, _SC_FLG,
+ _SC_URG, _SC_DOSW) = range(9)
 
 
 def _resident_kernel(S: _Static, *refs):
@@ -986,9 +987,9 @@ def _resident_kernel(S: _Static, *refs):
          aN[wslot] (waited at the end of the wave, v1).
     """
     (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
-     head_i, sv_i, oa_i, xa_i, nxt_i, tbl_ref, aN_i,
-     scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o,
-     popbuf, fatbuf, framebuf, frameT, stage, sidx, xzbuf,
+     head_i, sv_i, oa_i, xa_i, nxt_i, qrow_ref, tbl_ref, aN_i, xz_i,
+     scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o, xzbuf,
+     popbuf, fatbuf, framebuf, frameT, stage, sidx,
      psem, fsem, wsem, ssem) = refs
     B = head_i.shape[1]
     SH = stage.shape[0]
@@ -1001,7 +1002,16 @@ def _resident_kernel(S: _Static, *refs):
     oa_o[:] = oa_i[:]
     xa_o[:] = xa_i[:]
     nxt_o[:] = nxt_i[:]
+    if S.RING:
+        start_f = qrow_ref[0:1, :]
+        flushed = qrow_ref[1:2, :] != 0
+        counter = scal_ref[0, _SC_CNTR]
+        NRs = scal_ref[0, _SC_NR]
+        FLG = scal_ref[0, _SC_FLG]
+        URG = scal_ref[0, _SC_URG]
 
+    if S.XCAP > 0:
+        xzbuf[:] = xz_i[:]
     fsh = S.FATB.bit_length() - 1
     blk_of = lambda i: (jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
                         // BLK).astype(jnp.int32)
@@ -1018,12 +1028,26 @@ def _resident_kernel(S: _Static, *refs):
     OPT = S.DEFER
 
     def cond(c):
-        it, fcnt, alive, last_w, wpend = c
-        return (alive > 0) & (it < max_iters)
+        it, fcnt, alive, last_w, wpend, do_sw = c
+        return (alive > 0) & (it < max_iters) & (do_sw == 0)
 
     def body(c):
         it, fcnt, last_w, wpend = c[0], c[1], c[3], c[4]
         sv_t = sv_o[:]
+        if S.RING:
+            # ring budget: a read whose age reaches NFRAME is about to
+            # lose its oldest frame row — flag overflow + DONE before any
+            # stale row could be read (engine/inexact.py body())
+            age = fcnt - start_f
+            mrow = sv_t[_SV_MODE:_SV_MODE + 1, :]
+            ring_over = (mrow != MODE_DONE) & (age >= S.NFRAME)
+            sv_t = jnp.concatenate(
+                [jnp.where(ring_over, jnp.int32(MODE_DONE), mrow),
+                 sv_t[1:_SV_OVER],
+                 sv_t[_SV_OVER:_SV_OVER + 1]
+                 | ring_over.astype(jnp.int32),
+                 sv_t[_SV_OVER + 1:]], axis=0)
+            sv_o[:] = sv_t
         nxt = nxt_o[:]
         node = nxt[0:1, :]                                 # (1, B)
         mode0 = sv_t[_SV_MODE:_SV_MODE + 1, :]
@@ -1225,16 +1249,30 @@ def _resident_kernel(S: _Static, *refs):
         alive = jnp.sum(
             (sv_n[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
             dtype=jnp.int32)
-        return (it + 1, fcnt + any_pop.astype(jnp.int32), alive,
-                wslot, jnp.int32(1))
+        fcnt_n = fcnt + any_pop.astype(jnp.int32)
+        if S.RING:
+            # flush gate (engine/inexact.py body()): exit the segment so
+            # the XLA switch_step can flush finished lanes and refill
+            mode_n = sv_n[_SV_MODE:_SV_MODE + 1, :]
+            fin = (mode_n == MODE_DONE) & ~flushed
+            nfin = jnp.sum(fin.astype(jnp.int32), dtype=jnp.int32)
+            urgent = jnp.sum(
+                (fin & ((fcnt_n - start_f) >= URG)).astype(jnp.int32),
+                dtype=jnp.int32) > 0
+            drain = (counter >= NRs) | (alive == 0)
+            do_sw = ((nfin >= FLG) | ((nfin > 0) & drain)
+                     | urgent).astype(jnp.int32)
+        else:
+            do_sw = jnp.int32(0)
+        return (it + 1, fcnt_n, alive, wslot, jnp.int32(1), do_sw)
 
     alive0 = jnp.sum(
         (sv_i[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
         dtype=jnp.int32)
-    it, fcnt, _, _, wpend = jax.lax.while_loop(
+    it, fcnt, _, _, wpend, do_sw_f = jax.lax.while_loop(
         cond, body,
         (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0,
-         jnp.int32(-1), jnp.int32(0)))
+         jnp.int32(-1), jnp.int32(0), jnp.int32(0)))
     # drain the final in-flight frame write before the kernel exits
     if S.WROVL:
         @pl.when(wpend > 0)
@@ -1242,8 +1280,11 @@ def _resident_kernel(S: _Static, *refs):
             pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
     scal_o[0, _SC_FCNT] = fcnt
     scal_o[0, _SC_ITER] = it
+    scal_o[0, _SC_DOSW] = do_sw_f
     scal_o[0, _SC_LEN] = 0
     for k in range(3, 8):
+        scal_o[0, k] = 0
+    for k in range(9, 16):
         scal_o[0, k] = 0
 
 
@@ -1293,56 +1334,22 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
     nxt0 = jnp.zeros((S.NXW, B), jnp.int32).at[0].set(node0)
     rtN0 = state["rtN"][:, 0].T                            # [4, B]
 
-    scal0 = jnp.stack(
-        [state["fcnt"], length32, state["iters"],
-         jnp.int32(int(cfg.max_iters)), jnp.int32(0), jnp.int32(0),
-         jnp.int32(0), jnp.int32(0)]).reshape(1, 8)
+    scal0 = jnp.zeros((1, 16), jnp.int32)
+    scal0 = scal0.at[0, _SC_FCNT].set(state["fcnt"])
+    scal0 = scal0.at[0, _SC_LEN].set(length32)
+    scal0 = scal0.at[0, _SC_ITER].set(state["iters"])
+    scal0 = scal0.at[0, _SC_MAXIT].set(jnp.int32(int(cfg.max_iters)))
+    qrow0 = jnp.zeros((8, B), jnp.int32)
+    xz0 = jnp.zeros((4 * max(S.XCAP, 2), B), jnp.int32)
 
     kern = functools.partial(_resident_kernel, S)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec(memory_space=pltpu.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shapes = [
-        jax.ShapeDtypeStruct((1, 8), jnp.int32),           # scal
-        jax.ShapeDtypeStruct((S.NB, B), jnp.int32),        # head
-        jax.ShapeDtypeStruct((NSV, B), jnp.int32),         # sv
-        jax.ShapeDtypeStruct((7 * S.ACAP, B), jnp.int32),  # oa
-        jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),    # xa
-        jax.ShapeDtypeStruct((S.NXW, B), jnp.int32),       # nxt
-        jax.ShapeDtypeStruct(state["aN"].shape, jnp.int32),  # arena
-    ]
-    out_specs = [sspec, vspec, vspec, vspec, vspec, vspec, aspec]
-    scratch = [
-        pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
-        pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
-        pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
-        pltpu.VMEM((S.ROWW, B), jnp.int32),                # frameT
-        pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
-        pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
-        pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz planes
-        pltpu.SemaphoreType.DMA(()),                       # psem
-        pltpu.SemaphoreType.DMA(()),                       # fsem
-        pltpu.SemaphoreType.DMA(()),                       # wsem
-        pltpu.SemaphoreType.DMA(()),                       # ssem
-    ]
-    scal_o, head_n, sv_n, oa_n, xa_n, nxt_n, aN_n = pl.pallas_call(
-        kern,
-        in_specs=[sspec, vspec, vspec, vspec, vspec, vspec,
-                  vspec, vspec, vspec, vspec, vspec, aspec, aspec],
-        out_shape=out_shapes,
-        out_specs=out_specs,
-        scratch_shapes=scratch,
-        input_output_aliases={12: 6},
-        interpret=INTERPRET,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # the default 16 MB scoped-vmem limit is conservative; the
-            # resident kernel's working set at B=1024 with xcap=128 is
-            # ~17 MB (fatbuf + xz planes + lane tables)
-            vmem_limit_bytes=int(__import__("os").environ.get(
-                "BWBBLE_VMEM_MB", "64")) * 1024 * 1024),
-    )(scal0, carrv, rtN0, rcx0, dnw0, dsw0,
-      head0, sv0, oa0, xa0, nxt0, table4, state["aN"])
+    scal_o, head_n, sv_n, oa_n, xa_n, nxt_n, aN_n, _xz = _resident_call(
+        S, kern, state["aN"].shape, B,
+        (scal0, carrv, rtN0, rcx0, dnw0, dsw0,
+         head0, sv0, oa0, xa0, nxt0, qrow0, table4, state["aN"], xz0))
 
     out = dict(state)
     sv = sv_n
@@ -1366,6 +1373,212 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         iters=scal_o[0, _SC_ITER], fcnt=scal_o[0, _SC_FCNT],
     )
     return out
+
+
+def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
+                             queued_ctx):
+    """Ring-queue resident mode: the kernel runs wave SEGMENTS (exiting
+    when the flush gate fires), and the parity-tested XLA switch_step
+    (flush + ring path walks + refill, engine/inexact.py) runs between
+    segments.  Continuous batching makes the iteration count
+    (total work / B)-bound instead of per-batch max-bound — the fixed
+    tiers measured ~2.7x lockstep waste on the chr21 mix."""
+    S = _Static(params, cfg, B, Lmax, NROOT)
+    S.DEFER = False
+    S.RING = True
+    assert NROOT == 1
+    qkeys = ("rc", "len", "D", "Ds", "rtN", "cur", "counter", "flushed",
+             "start_f", "q_alns", "q_meta", "q_paths")
+    switch_fn = queued_ctx["switch_step"]
+    NR_q = int(queued_ctx["NR"])
+    FL_q = int(queued_ctx["FL"])
+    urg = max(2, S.NFRAME - (B // FL_q) - 2)
+    # flush gate: the XLA queue body flushes at >=16 finished lanes; each
+    # resident segment exit costs a pallas re-entry + switch_step (path
+    # walks), so gate at the full flush width instead (per-read results
+    # are assignment-invariant)
+    flg = FL_q
+    lane_iota = jnp.arange(B, dtype=jnp.int32)
+    length32 = didx.length.astype(jnp.int32)
+    carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
+                             jnp.zeros((15,), jnp.int32)]).reshape(32, 1)
+    tbl = didx.table
+    padr = (-tbl.shape[0]) % S.FATB
+    if padr:
+        tbl = jnp.pad(tbl, ((0, padr), (0, 0)))
+    table4 = tbl.reshape(-1, S.FATW)
+    kern = functools.partial(_resident_kernel, S)
+
+    def pack_sv(d, prev_sv):
+        zb = jnp.zeros((B,), jnp.int32)
+        base = jnp.stack(
+            [d["mode"], d["best_score"], d["max_diff"], d["num_best"],
+             d["n_alns"], d["overflow"].astype(jnp.int32), d["n_open"],
+             d["n_pushed"], d["x_cnt"], d["x_j"], d["x_node"], d["x_m1"],
+             d["x_m2"]], axis=0)
+        return jnp.concatenate([base, prev_sv[13:]], axis=0)
+
+    def carry_to_dict(cr):
+        sv, oa = cr["sv"], cr["oa"]
+        d = dict(
+            aN=cr["aN"], head=cr["head"].T,
+            mode=sv[_SV_MODE], best_score=sv[_SV_BEST],
+            max_diff=sv[_SV_MAXD], num_best=sv[_SV_NBEST],
+            n_alns=sv[_SV_NALN], overflow=sv[_SV_OVER] != 0,
+            n_open=sv[_SV_NOPEN], n_pushed=sv[_SV_NPUSH],
+            x_cnt=sv[_SV_XCNT], x_j=sv[_SV_XJ], x_node=sv[_SV_XNODE],
+            x_m1=sv[_SV_XM1], x_m2=sv[_SV_XM2],
+            o_L=oa[0 * S.ACAP:1 * S.ACAP].T,
+            o_U=oa[1 * S.ACAP:2 * S.ACAP].T,
+            o_score=oa[2 * S.ACAP:3 * S.ACAP].T,
+            o_len=oa[3 * S.ACAP:4 * S.ACAP].T,
+            o_node=oa[4 * S.ACAP:5 * S.ACAP].T,
+            o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
+            o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
+            x_L=cr["xa"][:S.KX].T, x_U=cr["xa"][S.KX:].T,
+            fcnt=cr["fcnt"], iters=cr["iters"])
+        d.update({k: cr[k] for k in qkeys})
+        return d
+
+    def dict_to_carry(d, cr):
+        sv = pack_sv(d, cr["sv"])
+        oa = jnp.concatenate(
+            [d["o_L"].T, d["o_U"].T, d["o_score"].T, d["o_len"].T,
+             d["o_node"].T, d["o_m1"].T, d["o_snp"].T], axis=0)
+        xa = jnp.concatenate([d["x_L"].T, d["x_U"].T], axis=0)
+        headT = d["head"].T
+        rb = _iota((S.NB, B), 0)
+        b0 = jnp.min(jnp.where(headT >= 0, rb, S.NB), axis=0)
+        node0 = jnp.sum(jnp.where(rb == b0[None, :], headT, 0), axis=0,
+                        dtype=jnp.int32)
+        out = dict(cr, aN=d["aN"], head=headT, sv=sv, oa=oa, xa=xa,
+                   nxt=cr["nxt"].at[0].set(node0), fcnt=d["fcnt"])
+        out.update({k: d[k] for k in qkeys})
+        out["rcx"], out["dnw"], out["dsw"] = _lane_tables(
+            S, B, d["rc"], d["len"], d["D"], d["Ds"])
+        return out
+
+    def switch_wrap(cr):
+        return dict_to_carry(switch_fn(carry_to_dict(cr)), cr)
+
+    def cond(cr):
+        sv = cr["sv"]
+        alive = jnp.any(sv[_SV_MODE] != MODE_DONE)
+        alive = alive | (cr["counter"] < NR_q) \
+            | jnp.any((sv[_SV_MODE] == MODE_DONE)
+                      & ~cr["flushed"] & (lane_iota < NR_q))
+        return alive & (cr["iters"] < cfg.max_iters)
+
+    def body(cr):
+        scal = jnp.zeros((1, 16), jnp.int32)
+        for k, v in ((_SC_FCNT, cr["fcnt"]), (_SC_LEN, length32),
+                     (_SC_ITER, cr["iters"]),
+                     (_SC_MAXIT, jnp.int32(int(cfg.max_iters))),
+                     (_SC_CNTR, cr["counter"]), (_SC_NR, jnp.int32(NR_q)),
+                     (_SC_FLG, jnp.int32(flg)), (_SC_URG, jnp.int32(urg))):
+            scal = scal.at[0, k].set(v)
+        qrow = jnp.zeros((8, B), jnp.int32) \
+            .at[0].set(cr["start_f"]) \
+            .at[1].set(cr["flushed"].astype(jnp.int32))
+        rtN0 = cr["rtN"][:, 0].T
+        scal_o, head_n, sv_n, oa_n, xa_n, nxt_n, aN_n, xz_n = \
+            _resident_call(
+                S, kern, cr["aN"].shape, B,
+                (scal, carrv, rtN0, cr["rcx"], cr["dnw"], cr["dsw"],
+                 cr["head"], cr["sv"], cr["oa"], cr["xa"], cr["nxt"],
+                 qrow, table4, cr["aN"], cr["xz"]))
+        cr2 = dict(cr, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n, nxt=nxt_n,
+                   aN=aN_n, xz=xz_n, fcnt=scal_o[0, _SC_FCNT],
+                   iters=scal_o[0, _SC_ITER])
+        do_sw = scal_o[0, _SC_DOSW] > 0
+        return jax.lax.cond(do_sw, switch_wrap, lambda c: dict(c), cr2)
+
+    # ---- initial carry (same packing as run_loop_resident + queue keys)
+    sv0 = jnp.stack(
+        [state["mode"], state["best_score"], state["max_diff"],
+         state["num_best"], state["n_alns"],
+         state["overflow"].astype(jnp.int32), state["n_open"],
+         state["n_pushed"], state["x_cnt"], state["x_j"], state["x_node"],
+         state["x_m1"], state["x_m2"]]
+        + [jnp.zeros((B,), jnp.int32)] * (NSV - 13), axis=0)
+    oa0 = jnp.concatenate(
+        [state["o_L"].T, state["o_U"].T, state["o_score"].T,
+         state["o_len"].T, state["o_node"].T, state["o_m1"].T,
+         state["o_snp"].T], axis=0)
+    xa0 = jnp.concatenate([state["x_L"].T, state["x_U"].T], axis=0)
+    head0 = state["head"].T
+    row_b = jnp.arange(S.NB, dtype=jnp.int32)[:, None]
+    b0 = jnp.min(jnp.where(head0 >= 0, row_b, S.NB), axis=0)
+    node0 = jnp.sum(jnp.where(row_b == b0[None, :], head0, 0), axis=0,
+                    dtype=jnp.int32)
+    nxt0 = jnp.zeros((S.NXW, B), jnp.int32).at[0].set(node0)
+    carry = dict(aN=state["aN"], head=head0, sv=sv0, oa=oa0, xa=xa0,
+                 nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"],
+                 xz=jnp.zeros((4 * max(S.XCAP, 2), B), jnp.int32))
+    carry.update({k: state[k] for k in qkeys})
+    carry["rcx"], carry["dnw"], carry["dsw"] = _lane_tables(
+        S, B, state["rc"], state["len"], state["D"], state["Ds"])
+
+    carry = jax.lax.while_loop(cond, body, carry)
+
+    out = dict(state)
+    sv = carry["sv"]
+    out.update(
+        aN=carry["aN"], head=carry["head"].T,
+        mode=sv[_SV_MODE], n_alns=sv[_SV_NALN],
+        overflow=sv[_SV_OVER] != 0, n_pushed=sv[_SV_NPUSH],
+        n_work=sv[_SV_NWORK], ovwhy=sv[_SV_OVWHY],
+        iters=carry["iters"], fcnt=carry["fcnt"],
+    )
+    out.update({k: carry[k] for k in qkeys})
+    return out
+
+
+def _resident_call(S: _Static, kern, aN_shape, B, args):
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 16), jnp.int32),          # scal
+        jax.ShapeDtypeStruct((S.NB, B), jnp.int32),        # head
+        jax.ShapeDtypeStruct((NSV, B), jnp.int32),         # sv
+        jax.ShapeDtypeStruct((7 * S.ACAP, B), jnp.int32),  # oa
+        jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),    # xa
+        jax.ShapeDtypeStruct((S.NXW, B), jnp.int32),       # nxt
+        jax.ShapeDtypeStruct(aN_shape, jnp.int32),         # arena
+        jax.ShapeDtypeStruct((4 * max(S.XCAP, 2), B), jnp.int32),  # xz
+    ]
+    out_specs = [sspec, vspec, vspec, vspec, vspec, vspec, aspec, vspec]
+    scratch = [
+        pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
+        pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
+        pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
+        pltpu.VMEM((S.ROWW, B), jnp.int32),                # frameT
+        pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
+        pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
+        pltpu.SemaphoreType.DMA(()),                       # psem
+        pltpu.SemaphoreType.DMA(()),                       # fsem
+        pltpu.SemaphoreType.DMA(()),                       # wsem
+        pltpu.SemaphoreType.DMA(()),                       # ssem
+    ]
+    return pl.pallas_call(
+        kern,
+        in_specs=[sspec, vspec, vspec, vspec, vspec, vspec,
+                  vspec, vspec, vspec, vspec, vspec, vspec, aspec, aspec,
+                  vspec],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases={13: 6},
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the default 16 MB scoped-vmem limit is conservative; the
+            # resident kernel's working set at B=1024 with xcap=128 is
+            # ~17 MB (fatbuf + xz planes + lane tables)
+            vmem_limit_bytes=int(__import__("os").environ.get(
+                "BWBBLE_VMEM_MB", "64")) * 1024 * 1024),
+    )(*args)
 
 
 def _lane_tables(S: _Static, B, rc_a, len_a, D_a, Ds_a):

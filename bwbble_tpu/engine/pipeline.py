@@ -819,7 +819,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                           and getattr(_nat, "_has_gold", False))
     cell = max(int(cfg.cap) * B, 1 << 25)     # arena rows x lanes budget
     if resident_on:
-        ladder = ((128, 2),)
+        ladder = ((256, 2),)
     elif pallas_on:
         ladder = ((1024, 8), (256, 8), (128, 16))
     else:

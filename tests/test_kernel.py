@@ -340,6 +340,7 @@ def test_kernel_queued_matches_xla_body(world):
     PK.INTERPRET = True
     try:
         got = run(dataclasses.replace(cfg, backend="pallas"))
+        got_res = run(dataclasses.replace(cfg, backend="resident"))
     finally:
         PK.INTERPRET = False
 
@@ -347,3 +348,7 @@ def test_kernel_queued_matches_xla_body(world):
               "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
               "paths", "n_pushed"):
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+        # ring-queue resident mode (segments + XLA switch_step): same
+        # reads through the same flush/refill semantics, bit-identical
+        np.testing.assert_array_equal(ref[k], got_res[k],
+                                      err_msg="resident " + k)
