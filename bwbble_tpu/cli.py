@@ -236,7 +236,34 @@ def cmd_aln2sam(argv: list[str]) -> int:
     ann = read_ann(fasta + ".ann")
     reads = read_fastq(fastq)
     per_read = read_aln_file(alnf)
-    sam = alns_to_sam(idx, ann, reads, per_read, max_diff=max_diff)
+    # batched device SA resolution (lockstep invPsi walks,
+    # engine/rank.py:sa_resolve; reference hot path bwt.c:320-329): the
+    # host per-row loop is O(reads x 32 rank queries) in Python — fine at
+    # 16K reads, wrong at 10^8.  Falls back to the host loop off-device.
+    sa_resolver = None
+    try:
+        import jax as _jax
+        if _jax.default_backend() == "tpu" and idx.length < 2**31:
+            from bwbble_tpu.engine.device_index import from_fmindex
+            from bwbble_tpu.engine.rank import sa_resolve
+            import jax.numpy as _jnp
+            didx = from_fmindex(idx)
+
+            def sa_resolver(rows):
+                import numpy as _np
+                rows = _np.asarray(rows, dtype=_np.int64)
+                n = rows.shape[0]
+                if n == 0:
+                    return rows
+                npad = max(256, 1 << (n - 1).bit_length())
+                padded = _np.zeros(npad, dtype=_np.int32)
+                padded[:n] = rows
+                out = _np.asarray(sa_resolve(didx, _jnp.asarray(padded)))
+                return out[:n].astype(_np.int64)
+    except Exception:
+        sa_resolver = None
+    sam = alns_to_sam(idx, ann, reads, per_read, max_diff=max_diff,
+                      sa_resolver=sa_resolver)
     with open(samf, "w") as f:
         f.write(sam)
     return 0

@@ -125,7 +125,8 @@ def sharded_inexact_search(mesh: Mesh, didx: DeviceIndex, rc, lengths,
         o_score=P("dp", None), o_len=P("dp", None), o_node=P("dp", None),
         o_mm=P("dp", None), o_go=P("dp", None), o_ge=P("dp", None),
         o_snp=P("dp", None), o_plen=P("dp", None), overflow=P("dp"),
-        iters=P("dp"), n_pushed=P("dp"), arena=P(None, "dp", None))
+        iters=P("dp"), n_pushed=P("dp"), n_work=P("dp"), ovwhy=P("dp"),
+        arena=P(None, "dp", None))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(_index_specs(), P("dp", None), P("dp"),
                              P("dp", None, None), P("dp", None, None)),
