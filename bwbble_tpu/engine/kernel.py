@@ -988,9 +988,13 @@ def _resident_kernel(S: _Static, *refs):
     """
     (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
      head_i, sv_i, oa_i, xa_i, nxt_i, qrow_ref, tbl_ref, aN_i, xz_i,
-     scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o, xzbuf,
-     popbuf, fatbuf, framebuf, frameT, stage, sidx,
+     scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o, xz_o,
+     popbuf, fatbuf, framebuf, frameT, stage, sidx, xzscr,
      psem, fsem, wsem, ssem) = refs
+    # xz planes: VMEM scratch in fixed mode (state dies with the launch);
+    # carried through the aliased in/out pair only in ring mode, where
+    # exact scans span kernel segments
+    xzbuf = xz_o if S.RING else xzscr
     B = head_i.shape[1]
     SH = stage.shape[0]
     LEN = scal_ref[0, _SC_LEN]
@@ -1010,8 +1014,10 @@ def _resident_kernel(S: _Static, *refs):
         FLG = scal_ref[0, _SC_FLG]
         URG = scal_ref[0, _SC_URG]
 
-    if S.XCAP > 0:
+    if S.XCAP > 0 and S.RING:
         xzbuf[:] = xz_i[:]
+    if not S.RING:
+        xz_o[:] = jnp.zeros_like(xz_o)
     fsh = S.FATB.bit_length() - 1
     blk_of = lambda i: (jnp.clip(i, 0, jnp.maximum(len_m1 - 1, 0))
                         // BLK).astype(jnp.int32)
@@ -1340,7 +1346,7 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
     scal0 = scal0.at[0, _SC_ITER].set(state["iters"])
     scal0 = scal0.at[0, _SC_MAXIT].set(jnp.int32(int(cfg.max_iters)))
     qrow0 = jnp.zeros((8, B), jnp.int32)
-    xz0 = jnp.zeros((4 * max(S.XCAP, 2), B), jnp.int32)
+    xz0 = jnp.zeros((8, B), jnp.int32)
 
     kern = functools.partial(_resident_kernel, S)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1546,7 +1552,9 @@ def _resident_call(S: _Static, kern, aN_shape, B, args):
         jax.ShapeDtypeStruct((2 * S.KX, B), jnp.int32),    # xa
         jax.ShapeDtypeStruct((S.NXW, B), jnp.int32),       # nxt
         jax.ShapeDtypeStruct(aN_shape, jnp.int32),         # arena
-        jax.ShapeDtypeStruct((4 * max(S.XCAP, 2), B), jnp.int32),  # xz
+        jax.ShapeDtypeStruct(
+            (4 * max(S.XCAP, 2), B) if S.RING else (8, B),
+            jnp.int32),                                    # xz carry
     ]
     out_specs = [sspec, vspec, vspec, vspec, vspec, vspec, aspec, vspec]
     scratch = [
@@ -1556,6 +1564,7 @@ def _resident_call(S: _Static, kern, aN_shape, B, args):
         pltpu.VMEM((S.ROWW, B), jnp.int32),                # frameT
         pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
         pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
+        pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz scratch
         pltpu.SemaphoreType.DMA(()),                       # psem
         pltpu.SemaphoreType.DMA(()),                       # fsem
         pltpu.SemaphoreType.DMA(()),                       # wsem

@@ -716,7 +716,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     pool.submit(to_gold)
                 failed = hardest[len(to_gold):]
                 cell = max(int(cfg.cap) * B, 1 << 25)
-                for deep_B, deep_kx in ((128, 2),):
+                for deep_B, deep_kx in ((256, 2),):
                     if not failed:
                         break
                     # lockstep launches pay max-over-lanes iterations:
