@@ -1303,7 +1303,10 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
     S = _Static(params, cfg, B, Lmax, NROOT)
     S.DEFER = S.XCAP > 0 and bool(int(
         __import__("os").environ.get("BWBBLE_RESIDENT_OPT", "0")))
-    assert NROOT == 1 and not S.RING
+    if NROOT != 1:
+        raise ValueError(
+            "backend='resident' covers int32 multiref searches without "
+            "seeds (NROOT == 1); seeded searches route to the XLA body")
     NAREN = state["aN"].shape[0]
 
     lengths_v = state["len"]
@@ -1392,7 +1395,10 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
     S = _Static(params, cfg, B, Lmax, NROOT)
     S.DEFER = False
     S.RING = True
-    assert NROOT == 1
+    if NROOT != 1:
+        raise ValueError(
+            "backend='resident' (queued) covers int32 multiref searches "
+            "without seeds (NROOT == 1)")
     qkeys = ("rc", "len", "D", "Ds", "rtN", "cur", "counter", "flushed",
              "start_f", "q_alns", "q_meta", "q_paths")
     switch_fn = queued_ctx["switch_step"]
@@ -1497,6 +1503,18 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
                    aN=aN_n, xz=xz_n, fcnt=scal_o[0, _SC_FCNT],
                    iters=scal_o[0, _SC_ITER])
         do_sw = scal_o[0, _SC_DOSW] > 0
+        # Drain-deadlock guard: the in-kernel wave loop requires alive > 0
+        # to run a wave, so a segment that starts with zero alive lanes
+        # (e.g. a final wave finishing more than FL lanes at once, or a
+        # refill batch entirely discarded on init) runs zero waves, leaves
+        # _SC_DOSW = 0, and the outer carry would be a fixed point — the
+        # device would spin forever.  The XLA queue body runs its flush
+        # check unconditionally every iteration, so forcing the switch
+        # whenever no lane is alive is parity-safe (flush + refill are
+        # no-ops when there is nothing to do, and the outer cond then
+        # terminates the loop).
+        alive_n = jnp.any(sv_n[_SV_MODE] != MODE_DONE)
+        do_sw = do_sw | ~alive_n
         return jax.lax.cond(do_sw, switch_wrap, lambda c: dict(c), cr2)
 
     # ---- initial carry (same packing as run_loop_resident + queue keys)

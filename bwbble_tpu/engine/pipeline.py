@@ -436,7 +436,9 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             nb = sel.shape[0]
             if nb < tier_B:
                 # pad with copies of the first read: all batches share one
-                # compiled shape; duplicate results are harmlessly rewritten
+                # compiled shape.  collect() iterates b < nb only, so a
+                # padded duplicate lane's results/ovwhy/n_work are never
+                # read and cannot overwrite the real lane's entries.
                 sel = np.concatenate(
                     [sel, np.full(tier_B - nb, sel[0], dtype=sel.dtype)])
             rc = np.zeros((tier_B, max(reads.max_len, 1)), dtype=np.int8)
@@ -601,6 +603,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     resident_on = (cfg.backend != "xla" and params.is_multiref
                    and mesh is None and precalc is None
                    and str(didx.idt) != "int64"
+                   and cfg.xsteps == 1          # mirrors _search's pallas_ok
                    and _jax.default_backend() == "tpu"
                    and B % 128 == 0 and B <= 1024)
     if resident_on:

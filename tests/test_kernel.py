@@ -352,3 +352,45 @@ def test_kernel_queued_matches_xla_body(world):
         # reads through the same flush/refill semantics, bit-identical
         np.testing.assert_array_equal(ref[k], got_res[k],
                                       err_msg="resident " + k)
+
+
+def test_kernel_queued_resident_all_discarded(world):
+    """Drain-deadlock regression (ADVICE r3, kernel.py): a segment that
+    starts with zero alive lanes but finished-unflushed lanes (here: refill
+    batches entirely discarded on init — all-N reads get MODE_DONE before
+    the kernel ever runs) used to run zero waves, leave _SC_DOSW=0, and
+    never reach switch_wrap — the outer while_loop carry was a fixed point
+    and the device spun forever.  The forced switch on alive==0 must
+    terminate the loop with results identical to the XLA queue body."""
+    from bwbble_tpu.engine.inexact import inexact_search_queued
+    idx, didx, reads = world
+    params = AlnParams(max_diff=3, batch_size=128)
+    cfg = EngineConfig(cap=4096, acap=24, kx=4, max_iters=20_000,
+                       flush=16, backend="xla")
+    Lmax = reads.max_len
+    NR = 384
+    rc = np.full((NR, Lmax), 4, dtype=np.int8)   # all-N: discarded on init
+    # two real reads so some segments interleave live work with the
+    # entirely-dead refills
+    rc[0] = np.asarray(reads.rc[0], dtype=np.int8)
+    rc[97] = np.asarray(reads.rc[1], dtype=np.int8)
+    lengths = np.full(NR, reads.lengths[0], dtype=np.int32)
+    lengths[0] = int(reads.lengths[0])
+    lengths[97] = int(reads.lengths[1])
+    D, Ds, _ = _calc_d_chunk(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                             lengths, params, K=16)
+
+    def run(cfg_):
+        res = inexact_search_queued(
+            didx, jnp.asarray(rc), jnp.asarray(lengths), D, Ds,
+            params, cfg_, lanes=128)
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    ref = run(cfg)
+    PK.INTERPRET = True
+    try:
+        got_res = run(dataclasses.replace(cfg, backend="resident"))
+    finally:
+        PK.INTERPRET = False
+    for k in ("n_alns", "o_L", "o_U", "o_score", "overflow", "paths"):
+        np.testing.assert_array_equal(ref[k], got_res[k], err_msg=k)
