@@ -138,9 +138,11 @@ class _Static:
         # makes the device own every read the round-2 engine shipped to
         # the host for kx overflow.
         self.XCAP = int(getattr(cfg, "xcap", 0))
-        # deferred DFS-resume (a lane finishing its exact scan pops next
-        # wave): only worthwhile with per-lane DMA issue skipping, which
-        # measured SLOWER on v5e — both default off (BWBBLE_RESIDENT_OPT)
+        # deferred DFS-resume (a lane finishing its exact scan / emission
+        # pops next wave — a pure per-lane delay, output-identical): lets
+        # the resident kernel know at wave start exactly which lanes pop,
+        # so the pop + DFS rank streams can be skipped on waves with no
+        # popping lane.  Enabled for the xcap path by run_loop_resident.
         self.DEFER = False
         # overlapped frame write (wait at next wave start): toggled for
         # measurement via BWBBLE_WR_OVERLAP
@@ -176,9 +178,11 @@ class _Static:
         self.RCW = _pad8(Lmax + 1)
         self.HD = _pad8(self.TD + 1)
         self.HS = _pad8(self.TS + 1)
-        # nxt feed-forward rows: node_next + 2*KX exact rank-row ids,
-        # padded to a multiple of 8 sublanes
-        self.NXW = ((1 + 2 * self.KX + 7) // 8) * 8
+        # nxt feed-forward rows: node_next + 2*KX exact rank-row ids +
+        # 2*KX exact slot VALUES (the (L-1, U) rank queries of the next
+        # wave's exact streams, carried so the exact step reads them
+        # instead of re-picking [XCAP, B] planes), sublane-padded
+        self.NXW = _pad8(1 + 4 * self.KX)
 
     def score_of(self, mm, go, ge):
         return mm * self.p_mm + go * self.p_go + ge * self.p_ge
@@ -429,7 +433,7 @@ def _kernel_body(S: _Static, *refs):
 
 
 def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
-               dsw_t, head, sv_t, oa_t, xa_t, xzp=None):
+               dsw_t, head, sv_t, oa_t, xa_t, xzp=None, xv=None):
     """One search iteration (exact-completion step + DFS pop/prune/expand/
     link/emit) on lane-major VALUE planes — the pure compute core shared by
     the per-iteration kernel (_kernel_body) and the resident multi-pop
@@ -539,135 +543,194 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         # slots of the current char and appends the adjacent-merged groups
         # to the next-char list (exact_match_bounded semantics at ANY list
         # width <= XCAP, exact_match.c:66-119 + add_sa_interval).
+        #
+        # Wave-cost structure (measured, v5e, B=1024): the [XCAP, B] plane
+        # ops here were +38 us/wave over the xcap=0 path, dominated by the
+        # statically-unrolled group-append (full-plane materialization per
+        # slot) and by plane picks re-deriving values the previous wave
+        # already computed.  Three structural fixes, all bit-exact:
+        # - the (L-1, U) rank queries of this wave's KX slots arrive as
+        #   VALUES carried in the nxt feed-forward rows (`xv`), not picks;
+        # - the whole advance block runs under lax.cond(any exact lane) —
+        #   every update inside is masked by lanesx, so skipping is exact;
+        # - the group append is a dynamic-trip fori_loop over max-groups
+        #   (typically 1-3, statically 14).
         pL0, pU0, pL1, pU1 = xzp
         rowsI = _iota((S.XCAP, B0), 0)
-        par0 = st["x_par"]
-        curL = jnp.where(par0 == 0, pL0, pL1)
-        curU = jnp.where(par0 == 0, pU0, pU1)
-        nxtL = jnp.where(par0 == 0, pL1, pL0)
-        nxtU = jnp.where(par0 == 0, pU1, pU0)
-        candL_l, candU_l, valid_l = [], [], []
-        for k in range(S.KX):
-            sIdx = st["x_rd"] + k
-            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
-            xLk = _pick_rows(curL, sc, S.XCAP)
-            xUk = _pick_rows(curU, sc, S.XCAP)
-            occL = _rank16(S, xLk - 1, rows, 2 + k, 1, False, LEN,
-                           carr16, carr17)
-            occU = _rank16(S, xUk, rows, 2 + S.KX + k, 0, False, LEN,
-                           carr16, carr17)
-            k_live = sIdx < st["x_cnt"]
-            cl, cu = _exact_cands(S, occL, occU, c)
-            candL_l.append(cl)
-            candU_l.append(cu)
-            valid_l.append((k_live & (cl <= cu) & c_lt4).astype(jnp.int32))
-        candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
-        candUx = jnp.concatenate(candU_l, axis=0)
-        validx = (jnp.concatenate(valid_l, axis=0) != 0) & lanesx
-        grpL, grpU, G, tail_upd, tailU_new = _merge_groups_tail(
-            S, candLx, candUx, validx, st["x_tU"])
+        assert xv is not None, "xcap path needs carried exact-slot values"
+        qLv_in = xv[:S.KX, :]           # (slot L) - 1 per exact stream
+        qUv_in = xv[S.KX:2 * S.KX, :]   # slot U per exact stream
 
-        adv = lanesx
-        st["n_work"] = st["n_work"] + adv.astype(jnp.int32)
-        wr = st["x_wr"]
-        # extend the list tail (leading run adjacent to the previous
-        # chunk's last interval), then append the G new groups in order
-        sel_t = adv & tail_upd
-        nxtU = jnp.where(sel_t & (rowsI == wr - 1), tailU_new, nxtU)
-        M = candLx.shape[0]
-        for g in range(M):
-            selg = adv & (g < G) & (rowsI == jnp.clip(wr + g, 0,
-                                                      S.XCAP - 1))
-            okg = adv & (g < G) & (wr + g < S.XCAP)
-            nxtL = jnp.where(selg & okg, grpL[g:g + 1, :], nxtL)
-            nxtU = jnp.where(selg & okg, grpU[g:g + 1, :], nxtU)
-        new_wr = jnp.where(adv, wr + G, wr)
-        lastU = _pick_rows(grpU, jnp.clip(G - 1, 0, M - 1), M)
-        new_tU = jnp.where(
-            adv, jnp.where(G > 0, lastU,
-                           jnp.where(tail_upd, tailU_new, st["x_tU"])),
-            st["x_tU"])
-        ovx = adv & (new_wr > S.XCAP)
-        st["overflow"] = st["overflow"] | ovx
-        st["ovwhy"] = st["ovwhy"] | jnp.where(ovx, 1, 0)
+        def _adv(ops):
+            (aL0, aU0, aL1, aU1, a_par, a_rd, a_wr, a_tU, a_cnt, a_j,
+             a_nw, a_ov, a_why, a_best, a_maxd, a_nbest, a_mode,
+             a_emit) = ops
+            nxtL = jnp.where(a_par == 0, aL1, aL0)
+            nxtU = jnp.where(a_par == 0, aU1, aU0)
+            candL_l, candU_l, valid_l = [], [], []
+            for k in range(S.KX):
+                occL = _rank16(S, qLv_in[k:k + 1, :], rows, 2 + k, 1,
+                               False, LEN, carr16, carr17)
+                occU = _rank16(S, qUv_in[k:k + 1, :], rows, 2 + S.KX + k,
+                               0, False, LEN, carr16, carr17)
+                k_live = (a_rd + k) < a_cnt
+                cl, cu = _exact_cands(S, occL, occU, c)
+                candL_l.append(cl)
+                candU_l.append(cu)
+                valid_l.append((k_live & (cl <= cu) & c_lt4)
+                               .astype(jnp.int32))
+            candLx = jnp.concatenate(candL_l, axis=0)     # [KX*7, B0]
+            candUx = jnp.concatenate(candU_l, axis=0)
+            validx = (jnp.concatenate(valid_l, axis=0) != 0) & lanesx
+            grpL, grpU, G, tail_upd, tailU_new = _merge_groups_tail(
+                S, candLx, candUx, validx, a_tU)
 
-        new_rd = st["x_rd"] + S.KX
-        char_done = adv & (new_rd >= st["x_cnt"])
-        cnt_c = new_wr                      # list length after this char
-        nj = jnp.where(char_done, j - 1, j)
-        st["x_par"] = jnp.where(char_done, 1 - par0, par0)
-        st["x_rd"] = jnp.where(char_done, 0, jnp.where(adv, new_rd,
-                                                       st["x_rd"]))
-        st["x_wr"] = jnp.where(char_done, 0, new_wr)
-        st["x_tU"] = jnp.where(char_done, -2, new_tU)
-        st["x_cnt"] = jnp.where(char_done, cnt_c, st["x_cnt"])
+            adv = lanesx
+            a_nw = a_nw + adv.astype(jnp.int32)
+            wr = a_wr
+            # extend the list tail (leading run adjacent to the previous
+            # chunk's last interval), then append the G new groups
+            sel_t = adv & tail_upd
+            nxtU = jnp.where(sel_t & (rowsI == wr - 1), tailU_new, nxtU)
+            M = candLx.shape[0]
+            rowm = _iota((M, 1), 0)
+            gmax = jnp.max(jnp.where(adv, G, 0))
+
+            def _app(g, c2):
+                nL, nU = c2
+                Lg = jnp.sum(jnp.where(rowm == g, grpL, 0), axis=0,
+                             keepdims=True, dtype=grpL.dtype)
+                Ug = jnp.sum(jnp.where(rowm == g, grpU, 0), axis=0,
+                             keepdims=True, dtype=grpU.dtype)
+                okg = adv & (g < G) & (wr + g < S.XCAP)
+                selg = okg & (rowsI == jnp.clip(wr + g, 0, S.XCAP - 1))
+                return (jnp.where(selg, Lg, nL), jnp.where(selg, Ug, nU))
+
+            nxtL, nxtU = jax.lax.fori_loop(0, gmax, _app, (nxtL, nxtU))
+            new_wr = jnp.where(adv, wr + G, wr)
+            lastU = _pick_rows(grpU, jnp.clip(G - 1, 0, M - 1), M)
+            new_tU = jnp.where(
+                adv, jnp.where(G > 0, lastU,
+                               jnp.where(tail_upd, tailU_new, a_tU)),
+                a_tU)
+            ovx = adv & (new_wr > S.XCAP)
+            a_ov = a_ov | ovx.astype(jnp.int32)
+            a_why = a_why | jnp.where(ovx, 1, 0)
+
+            new_rd = a_rd + S.KX
+            char_done = adv & (new_rd >= a_cnt)
+            cnt_c = new_wr                  # list length after this char
+            nj = jnp.where(char_done, a_j - 1, a_j)
+            n_par = jnp.where(char_done, 1 - a_par, a_par)
+            a_rd = jnp.where(char_done, 0, jnp.where(adv, new_rd, a_rd))
+            a_wr2 = jnp.where(char_done, 0, new_wr)
+            a_tU = jnp.where(char_done, -2, new_tU)
+            a_cnt = jnp.where(char_done, cnt_c, a_cnt)
+
+            dead = char_done & (cnt_c == 0)
+            fin = char_done & (cnt_c > 0) & (nj < 0)
+            # one-shot scoring at scan finish (inexact_match.c:345-362):
+            # first-hit best/max_diff update, num_best += total width,
+            # stop when suboptimal past max_best — then MODE_EMIT
+            xm1 = st["x_m1"]
+            xmm = (xm1 >> _SH_MM) & 0x1F
+            xgo = (xm1 >> _SH_GO) & 0x7
+            xge = (xm1 >> _SH_GE) & 0xF
+            score_x = S.score_of(xmm, xgo, xge)
+            first_hit = fin & (st["n_alns"] == 0)
+            a_best = jnp.where(first_hit, score_x, a_best)
+            a_maxd = jnp.where(
+                first_hit, jnp.minimum(xmm + xgo + xge + 1, S.p_maxdiff),
+                a_maxd)
+            width_tot = jnp.sum(
+                jnp.where(rowsI < cnt_c, nxtU - nxtL + 1, 0), axis=0,
+                keepdims=True, dtype=jnp.int32)
+            is_best = score_x == a_best
+            stop_x = fin & ~is_best & (a_nbest > S.p_maxbest)
+            a_nbest = a_nbest + jnp.where(fin & is_best, width_tot, 0)
+            a_mode = jnp.where(
+                stop_x, jnp.int32(MODE_DONE),
+                jnp.where(fin & ~stop_x, jnp.int32(MODE_EMIT),
+                          jnp.where(dead, jnp.int32(MODE_DFS), a_mode)))
+            a_emit = jnp.where(fin & ~stop_x, 0, a_emit)
+            # write the modified next-list back into the physical planes
+            aL0 = jnp.where(a_par == 0, aL0, nxtL)
+            aU0 = jnp.where(a_par == 0, aU0, nxtU)
+            aL1 = jnp.where(a_par == 0, nxtL, aL1)
+            aU1 = jnp.where(a_par == 0, nxtU, aU1)
+            return (aL0, aU0, aL1, aU1, n_par, a_rd, a_wr2, a_tU, a_cnt,
+                    nj, a_nw, a_ov, a_why, a_best, a_maxd, a_nbest,
+                    a_mode, a_emit)
+
+        ops = (pL0, pU0, pL1, pU1, st["x_par"], st["x_rd"], st["x_wr"],
+               st["x_tU"], st["x_cnt"], j, st["n_work"],
+               st["overflow"].astype(jnp.int32), st["ovwhy"],
+               st["best_score"], st["max_diff"], st["num_best"],
+               st["mode"], st["x_emit"])
+        ops = jax.lax.cond(jnp.any(lanesx), _adv, lambda o: o, ops)
+        (pL0, pU0, pL1, pU1, st["x_par"], st["x_rd"], st["x_wr"],
+         st["x_tU"], st["x_cnt"], nj, st["n_work"], ovi, st["ovwhy"],
+         st["best_score"], st["max_diff"], st["num_best"], st["mode"],
+         st["x_emit"]) = ops
+        st["overflow"] = ovi != 0
         st["x_j"] = nj
 
-        dead = char_done & (cnt_c == 0)
-        fin = char_done & (cnt_c > 0) & (nj < 0)
-        # one-shot scoring at scan finish (inexact_match.c:345-362):
-        # first-hit best/max_diff update, num_best += total width, stop
-        # when suboptimal past max_best — then emission (MODE_EMIT)
-        xm1 = st["x_m1"]
-        xmm = (xm1 >> _SH_MM) & 0x1F
-        xgo = (xm1 >> _SH_GO) & 0x7
-        xge = (xm1 >> _SH_GE) & 0xF
-        score_x = S.score_of(xmm, xgo, xge)
-        first_hit = fin & (st["n_alns"] == 0)
-        st["best_score"] = jnp.where(first_hit, score_x, st["best_score"])
-        st["max_diff"] = jnp.where(
-            first_hit, jnp.minimum(xmm + xgo + xge + 1, S.p_maxdiff),
-            st["max_diff"])
-        width_tot = jnp.sum(jnp.where(rowsI < cnt_c, nxtU - nxtL + 1, 0),
-                            axis=0, keepdims=True, dtype=jnp.int32)
-        is_best = score_x == st["best_score"]
-        stop_x = fin & ~is_best & (st["num_best"] > S.p_maxbest)
-        st["num_best"] = st["num_best"] + jnp.where(fin & is_best,
-                                                    width_tot, 0)
-        st["mode"] = jnp.where(
-            stop_x, jnp.int32(MODE_DONE),
-            jnp.where(fin & ~stop_x, jnp.int32(MODE_EMIT),
-                      jnp.where(dead, jnp.int32(MODE_DFS), st["mode"])))
-        st["x_emit"] = jnp.where(fin & ~stop_x, 0, st["x_emit"])
-        # write the modified next-list back into the physical planes
-        pL0 = jnp.where(par0 == 0, pL0, nxtL)
-        pU0 = jnp.where(par0 == 0, pU0, nxtU)
-        pL1 = jnp.where(par0 == 0, nxtL, pL1)
-        pU1 = jnp.where(par0 == 0, nxtU, pU1)
-
         # ------------- chunked emission (add_alignment, align.c:271-298)
+        # rare per wave (a handful of lanes finish a scan at a time), so
+        # the EC plane picks run under lax.cond(any emitting lane)
         lanese = st["mode"] == MODE_EMIT
-        curLe = jnp.where(st["x_par"] == 0, pL0, pL1)
-        curUe = jnp.where(st["x_par"] == 0, pU0, pU1)
-        a_i = xm1 & 0xFF
-        add_len = ((xm1 >> _SH_PLEN) & 0x1FF) + a_i
-        snp_x = st["x_m2"] & 0xFF
-        col_a = _iota((S.ACAP, B0), 0)
-        for t in range(S.EC):
-            sIdx = st["x_emit"] + t
-            ok = lanese & (sIdx < st["x_cnt"])
-            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
-            Lv = _pick_rows(curLe, sc, S.XCAP)
-            Uv = _pick_rows(curUe, sc, S.XCAP)
-            dup = jnp.any((st["o_L"] == Lv) & (st["o_U"] == Uv)
-                          & (col_a < st["n_alns"]), axis=0, keepdims=True)
-            ok = ok & ~(dup & (xgo > 0))
-            full = ok & (st["n_alns"] >= S.ACAP)
-            ok = ok & ~full
-            st["overflow"] = st["overflow"] | full
-            st["ovwhy"] = st["ovwhy"] | jnp.where(full, 2, 0)
-            sel = ok & (col_a == st["n_alns"])
-            st["o_L"] = jnp.where(sel, Lv, st["o_L"])
-            st["o_U"] = jnp.where(sel, Uv, st["o_U"])
-            st["o_score"] = jnp.where(sel, score_x, st["o_score"])
-            st["o_len"] = jnp.where(sel, add_len, st["o_len"])
-            st["o_node"] = jnp.where(sel, st["x_node"], st["o_node"])
-            st["o_m1"] = jnp.where(sel, xm1, st["o_m1"])
-            st["o_snp"] = jnp.where(sel, snp_x, st["o_snp"])
-            st["n_alns"] = st["n_alns"] + ok.astype(jnp.int32)
-        st["x_emit"] = jnp.where(lanese, st["x_emit"] + S.EC, st["x_emit"])
-        st["mode"] = jnp.where(lanese & (st["x_emit"] >= st["x_cnt"]),
-                               jnp.int32(MODE_DFS), st["mode"])
+
+        def _emit_block(eo):
+            (oL, oU, oS, oLen, oN, oM1, oSnp, n_al, e_ov, e_why, e_emit,
+             e_mode) = eo
+            curLe = jnp.where(st["x_par"] == 0, pL0, pL1)
+            curUe = jnp.where(st["x_par"] == 0, pU0, pU1)
+            xm1 = st["x_m1"]
+            xgo = (xm1 >> _SH_GO) & 0x7
+            xge = (xm1 >> _SH_GE) & 0xF
+            xmm = (xm1 >> _SH_MM) & 0x1F
+            score_x = S.score_of(xmm, xgo, xge)
+            a_i = xm1 & 0xFF
+            add_len = ((xm1 >> _SH_PLEN) & 0x1FF) + a_i
+            snp_x = st["x_m2"] & 0xFF
+            col_a = _iota((S.ACAP, B0), 0)
+            for t in range(S.EC):
+                sIdx = e_emit + t
+                ok = lanese & (sIdx < st["x_cnt"])
+                sc = jnp.clip(sIdx, 0, S.XCAP - 1)
+                Lv = _pick_rows(curLe, sc, S.XCAP)
+                Uv = _pick_rows(curUe, sc, S.XCAP)
+                dup = jnp.any((oL == Lv) & (oU == Uv) & (col_a < n_al),
+                              axis=0, keepdims=True)
+                ok = ok & ~(dup & (xgo > 0))
+                full = ok & (n_al >= S.ACAP)
+                ok = ok & ~full
+                e_ov = e_ov | full.astype(jnp.int32)
+                e_why = e_why | jnp.where(full, 2, 0)
+                sel = ok & (col_a == n_al)
+                oL = jnp.where(sel, Lv, oL)
+                oU = jnp.where(sel, Uv, oU)
+                oS = jnp.where(sel, score_x, oS)
+                oLen = jnp.where(sel, add_len, oLen)
+                oN = jnp.where(sel, st["x_node"], oN)
+                oM1 = jnp.where(sel, xm1, oM1)
+                oSnp = jnp.where(sel, snp_x, oSnp)
+                n_al = n_al + ok.astype(jnp.int32)
+            e_emit2 = jnp.where(lanese, e_emit + S.EC, e_emit)
+            e_mode = jnp.where(lanese & (e_emit2 >= st["x_cnt"]),
+                               jnp.int32(MODE_DFS), e_mode)
+            return (oL, oU, oS, oLen, oN, oM1, oSnp, n_al, e_ov, e_why,
+                    e_emit2, e_mode)
+
+        eo = (st["o_L"], st["o_U"], st["o_score"], st["o_len"],
+              st["o_node"], st["o_m1"], st["o_snp"], st["n_alns"],
+              st["overflow"].astype(jnp.int32), st["ovwhy"],
+              st["x_emit"], st["mode"])
+        eo = jax.lax.cond(jnp.any(lanese), _emit_block, lambda o: o, eo)
+        (st["o_L"], st["o_U"], st["o_score"], st["o_len"], st["o_node"],
+         st["o_m1"], st["o_snp"], st["n_alns"], eov, st["ovwhy"],
+         st["x_emit"], st["mode"]) = eo
+        st["overflow"] = eov != 0
 
     # ------------------------------- DFS step (engine/inexact.py:dfs_step)
     lanes = st["mode"] == MODE_DFS
@@ -733,14 +796,22 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         st["x_U"] = jnp.where(to_exact, jnp.where(xz == 0, eU, -1),
                               st["x_U"])
     else:
-        # seed the chunked scan: list = [(eL, eU)] in plane 0
+        # seed the chunked scan: list = [(eL, eU)] in plane 0 (the plane
+        # writes run under lax.cond(any to_exact lane) — pure row writes
+        # stay unconditional, they are cheap)
         st["x_par"] = jnp.where(to_exact, 0, st["x_par"])
         st["x_rd"] = jnp.where(to_exact, 0, st["x_rd"])
         st["x_wr"] = jnp.where(to_exact, 0, st["x_wr"])
         st["x_tU"] = jnp.where(to_exact, -2, st["x_tU"])
         rowsIx = _iota((S.XCAP, B0), 0)
-        pL0 = jnp.where(to_exact & (rowsIx == 0), eL, pL0)
-        pU0 = jnp.where(to_exact & (rowsIx == 0), eU, pU0)
+
+        def _seed(sp):
+            sL, sU = sp
+            return (jnp.where(to_exact & (rowsIx == 0), eL, sL),
+                    jnp.where(to_exact & (rowsIx == 0), eU, sU))
+
+        pL0, pU0 = jax.lax.cond(jnp.any(to_exact), _seed, lambda p: p,
+                                (pL0, pU0))
     live = live & ~to_exact
 
     # expansion ranks (rank_all_dfs_pair on the pre-gathered row pair)
@@ -912,20 +983,27 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         qU = jnp.where(xs_live, st["x_U"], 0)
     else:
         # next wave's rank streams: slots x_rd .. x_rd+KX-1 of the (post-
-        # swap / post-to_exact) current list plane
-        curLf = jnp.where(st["x_par"] == 0, pL0, pL1)
-        curUf = jnp.where(st["x_par"] == 0, pU0, pU1)
-        qLs, qUs = [], []
-        for k in range(S.KX):
-            sIdx = st["x_rd"] + k
-            live_k = sIdx < st["x_cnt"]
-            sc = jnp.clip(sIdx, 0, S.XCAP - 1)
-            Lk = _pick_rows(curLf, sc, S.XCAP)
-            Uk = _pick_rows(curUf, sc, S.XCAP)
-            qLs.append(jnp.where(live_k, Lk - 1, 0))
-            qUs.append(jnp.where(live_k, Uk, 0))
-        qL = jnp.concatenate(qLs, axis=0)
-        qU = jnp.concatenate(qUs, axis=0)
+        # swap / post-to_exact) current list plane, picked once here and
+        # CARRIED as values in nxt (so next wave's exact step never
+        # touches the planes); guarded — no exact lane, no picks
+        def _mkq(qq):
+            curLf = jnp.where(st["x_par"] == 0, pL0, pL1)
+            curUf = jnp.where(st["x_par"] == 0, pU0, pU1)
+            qLs, qUs = [], []
+            for k in range(S.KX):
+                sIdx = st["x_rd"] + k
+                live_k = sIdx < st["x_cnt"]
+                sc = jnp.clip(sIdx, 0, S.XCAP - 1)
+                Lk = _pick_rows(curLf, sc, S.XCAP)
+                Uk = _pick_rows(curUf, sc, S.XCAP)
+                qLs.append(jnp.where(live_k, Lk - 1, 0))
+                qUs.append(jnp.where(live_k, Uk, 0))
+            return (jnp.concatenate(qLs, axis=0),
+                    jnp.concatenate(qUs, axis=0))
+
+        zq = jnp.zeros((S.KX, node.shape[1]), jnp.int32)
+        qL, qU = jax.lax.cond(jnp.any(st["mode"] == MODE_EXACT), _mkq,
+                              lambda qq: qq, (zq, zq))
     kxL = jnp.clip(qL, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
     kxU = jnp.clip(qU, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
 
@@ -944,11 +1022,18 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     cnd = jnp.concatenate(
         candL + candU + candM1 + candM2
         + [node, jnp.zeros((128 - 4 * S.NSLOT - 1, B0), jnp.int32)], axis=0)
+    if xzp is not None:
+        # feed-forward: block ids for the DMA stage + the slot VALUES for
+        # next wave's exact step; xz_dirty gates the plane writeback
+        nxt = jnp.concatenate(
+            [node_next, kxL, kxU, qL, qU,
+             jnp.zeros((S.NXW - 1 - 4 * S.KX, B0), jnp.int32)], axis=0)
+        xz_dirty = jnp.any(lanesx) | jnp.any(to_exact)
+        return (head, sv_n, oa_n, xa_n, cnd, nxt, (pL0, pU0, pL1, pU1),
+                xz_dirty)
     nxt = jnp.concatenate(
         [node_next, kxL, kxU,
          jnp.zeros((S.NXW - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
-    if xzp is not None:
-        return head, sv_n, oa_n, xa_n, cnd, nxt, (pL0, pU0, pL1, pU1)
     return head, sv_n, oa_n, xa_n, cnd, nxt
 
 
@@ -989,7 +1074,7 @@ def _resident_kernel(S: _Static, *refs):
     (scal_ref, carr_ref, rtN_ref, rcx_ref, dnw_ref, dsw_ref,
      head_i, sv_i, oa_i, xa_i, nxt_i, qrow_ref, tbl_ref, aN_i, xz_i,
      scal_o, head_o, sv_o, oa_o, xa_o, nxt_o, aN_o, xz_o,
-     popbuf, fatbuf, framebuf, frameT, stage, sidx, xzscr,
+     popbuf, fatbuf, framebuf, stage, sidx, xzscr,
      psem, fsem, wsem, ssem) = refs
     # xz planes: VMEM scratch in fixed mode (state dies with the launch);
     # carried through the aliased in/out pair only in ring mode, where
@@ -1027,11 +1112,33 @@ def _resident_kernel(S: _Static, *refs):
         cp.start()
         cp.wait()
 
-    # measured (v5e, B=1024): per-lane @pl.when-guarded DMA issue/wait
-    # loops cost MORE than unconditional issues + one full-byte wait
-    # (+28 us/wave) — the scalar branches dominate the saved issues.
-    # Kept behind an env flag for re-evaluation on other chips.
-    OPT = S.DEFER
+    # The wave is SCALAR-bound: (1 + RQ) * B DMA issue instructions
+    # dominate it (measured ~14 ns/issue at B=1024 — the [XCAP, B] vector
+    # machinery hides almost entirely under the issue loops).  Scalar
+    # work is therefore made proportional to LIVE work:
+    # - per-8-lane-block skipping: the issue loops stay fully unrolled
+    #   (dynamic-bound fori loops measured +20 us/wave of induction
+    #   overhead), but every 8-lane block is guarded by a pl.when on a
+    #   per-block need flag (lane-shift OR-tree in vector land, staged
+    #   through SMEM).  DONE lanes stop paying 7 issues each — lockstep
+    #   waste becomes free masked vector lanes;
+    # - stream census: waves with no exact-mode lane skip all 2*KX exact
+    #   streams wholesale; waves with no popping lane skip the pop + 2
+    #   DFS streams (the deferred-resume rule S.DEFER makes "popping
+    #   lane" knowable at wave start).
+    # Waits stay byte-exact: the wait loops run under the same per-block
+    # flags as the issues, in 8-row static-size chunks.
+    ROWS8 = 8
+    NBLK = B // ROWS8
+
+    def _block_any8(m):
+        """(1, B) bool -> (1, B) int32 where lane 8k = any(m[8k..8k+7])
+        (log lane-shift OR-tree; only block-start lanes are read)."""
+        x = m.astype(jnp.int32)
+        for sh in (1, 2, 4):
+            x = x | jnp.concatenate(
+                [x[:, sh:], jnp.zeros((1, sh), jnp.int32)], axis=1)
+        return x
 
     def cond(c):
         it, fcnt, alive, last_w, wpend, do_sw = c
@@ -1058,14 +1165,26 @@ def _resident_kernel(S: _Static, *refs):
         node = nxt[0:1, :]                                 # (1, B)
         mode0 = sv_t[_SV_MODE:_SV_MODE + 1, :]
         was_dfs = mode0 == MODE_DFS
+        was_x = mode0 == MODE_EXACT
 
         if S.WROVL:
             # the previous wave's frame write must land before this wave's
-            # arena reads (its row is served from frameT, so the wait
-            # mostly overlaps the whole previous back-half)
+            # arena reads
             @pl.when(wpend > 0)
             def _wr():
                 pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
+
+        # ---- census + per-block need flags
+        alive_l = mode0 != MODE_DONE
+        # DFS streams serve every lane that may pop this wave: exactly the
+        # was_dfs set under deferred resume (S.DEFER); without it (xcap=0)
+        # an exact/emit lane can finish mid-wave and pop, so any alive
+        # lane may need them
+        dfs_need = was_dfs if S.DEFER else alive_l
+        dfs8 = _block_any8(dfs_need)
+        x8 = _block_any8(was_x)
+        dfs_any = jnp.any(dfs_need)
+        x_any = jnp.any(was_x)
 
         # ---- 1. pop-row fetch (mirrors glue's arena gather)
         nn = jnp.maximum(node - S.NROOT, 0)
@@ -1075,45 +1194,55 @@ def _resident_kernel(S: _Static, *refs):
         else:
             f = jnp.minimum(fq, S.NFRAME)                  # NAREN-1 trash ok
         is_root = node < S.NROOT
-        if OPT:
-            # skip lanes that won't pop this wave (deferred resume), root
-            # pops (served from rtN), and pops of the frame written LAST
-            # wave (its lane-major image is still in frameT)
-            hit_last = (f == last_w) & (last_w >= 0)
-            skip = ~was_dfs | is_root | hit_last
-            f_st = jnp.where(skip, -1, f)
-        else:
-            f_st = f
+        # one stage round-trip carries the pop rows, the need flags AND
+        # the exact-stream fat ids (known before the pop data arrives),
+        # so exact fat DMAs overlap the pop wait.  sync1 row layout:
+        # 0 = pop frame ids, 1 = dfs block flags, 2 = x block flags,
+        # 3 = global dfs flag, 4 = global x flag, 5.. = exact fat ids
+        fat_x = nxt[1:1 + 2 * S.KX] >> fsh                 # [2KX, B]
         stage[:] = jnp.concatenate(
-            [f_st, jnp.zeros((SH - 1, B), jnp.int32)], axis=0)
+            [f, dfs8, x8,
+             jnp.full((1, B), dfs_any.astype(jnp.int32), jnp.int32),
+             jnp.full((1, B), x_any.astype(jnp.int32), jnp.int32),
+             fat_x,
+             jnp.zeros((SH - 5 - 2 * S.KX, B), jnp.int32)], axis=0)
         sync_stage()
+        has_dfs = sidx[3, 0] > 0
+        has_x = sidx[4, 0] > 0
 
-        def issue_pop(b, _c):
-            fb = sidx[0, b]
-            if OPT:
-                @pl.when(fb >= 0)
-                def _go():
-                    pltpu.make_async_copy(
-                        aN_o.at[fb, b], popbuf.at[b], psem).start()
-                return _c
-            else:
-                pltpu.make_async_copy(
-                    aN_o.at[fb, b], popbuf.at[b], psem).start()
-            return _c
-        jax.lax.fori_loop(0, B, issue_pop, 0, unroll=B)
-        if OPT:
-            def wait_pop(b, _c):
-                fb = sidx[0, b]
-                @pl.when(fb >= 0)
-                def _go():
-                    pltpu.make_async_copy(
-                        aN_o.at[0, b], popbuf.at[b], psem).wait()
-                return _c
-            jax.lax.fori_loop(0, B, wait_pop, 0, unroll=B)
-            popT = jnp.where(hit_last, frameT[:], popbuf[:].T)  # [ROWW, B]
-        else:
-            pltpu.make_async_copy(aN_o.at[0], popbuf, psem).wait()
-            popT = popbuf[:].T                             # [ROWW, B]
+        @pl.when(has_dfs)
+        def _issue_pop():
+            for blk in range(NBLK):
+                @pl.when(sidx[1, blk * ROWS8] > 0)
+                def _b(blk=blk):
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        pltpu.make_async_copy(
+                            aN_o.at[sidx[0, b], b], popbuf.at[b],
+                            psem).start()
+
+        @pl.when(has_x)
+        def _issue_xfat():
+            for q in range(2, S.RQ):
+                for blk in range(NBLK):
+                    @pl.when(sidx[2, blk * ROWS8] > 0)
+                    def _b(blk=blk, q=q):
+                        for u in range(ROWS8):
+                            b = blk * ROWS8 + u
+                            pltpu.make_async_copy(
+                                tbl_ref.at[sidx[3 + q, b]],
+                                fatbuf.at[q * B + b], fsem).start()
+
+        @pl.when(has_dfs)
+        def _wait_pop():
+            for blk in range(NBLK):
+                @pl.when(sidx[1, blk * ROWS8] > 0)
+                def _b(blk=blk):
+                    # static 8-row slice = one issue block's byte count
+                    pltpu.make_async_copy(aN_o.at[0, 0:ROWS8],
+                                          popbuf.at[0:ROWS8], psem).wait()
+
+        popT = popbuf[:].T                                 # [ROWW, B]
         s_ = nn - fq * S.NSLOT                             # (1, B)
         aV = []
         for j in range(4):
@@ -1125,83 +1254,53 @@ def _resident_kernel(S: _Static, *refs):
         aV = jnp.concatenate(aV, axis=0)                   # [4, B]
         node4 = jnp.where(is_root, rtN_ref[:], aV)
 
-        # ---- 2. rank fat-row fetch (streams: DFS L-1, U, exact xL/xU)
+        # ---- 2. DFS rank fat-row fetch (ids need the popped node)
         eL = node4[0:1, :]
         eU = node4[1:2, :]
-        kAll = jnp.concatenate(
-            [blk_of(eL - 1), blk_of(eU), nxt[1:1 + 2 * S.KX]], axis=0)
-        fat_ids = kAll >> fsh                              # [RQ, B]
+        kdfs = jnp.concatenate([blk_of(eL - 1), blk_of(eU)], axis=0)
+        kAll = jnp.concatenate([kdfs, nxt[1:1 + 2 * S.KX]], axis=0)
         subm = jnp.concatenate(
             [kAll & (S.FATB - 1),
              jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)], axis=0)
-        dedupe_src = {}
-        if OPT:
-            # per-lane stream needs: DFS lanes use streams 0-1, exact
-            # lanes use 2+k / 2+KX+k for live slots; adjacent (L-1, U)
-            # queries sharing a fat row issue once (the slab pick reads
-            # the partner stream's buffer)
-            was_x = mode0 == MODE_EXACT
-            x_rd0 = sv_t[_SV_XRD:_SV_XRD + 1, :]
-            x_cnt0 = sv_t[_SV_XCNT:_SV_XCNT + 1, :]
-            st_rows = []
-            dup1 = fat_ids[1:2, :] == fat_ids[0:1, :]
-            st_rows.append(jnp.where(was_dfs, fat_ids[0:1, :], -1))
-            st_rows.append(jnp.where(was_dfs & ~dup1, fat_ids[1:2, :], -1))
-            dedupe_src[1] = (0, dup1)
-            for k in range(S.KX):
-                live_k = was_x & ((x_rd0 + k) < x_cnt0)
-                st_rows.append(jnp.where(live_k,
-                                         fat_ids[2 + k:3 + k, :], -1))
-            for k in range(S.KX):
-                live_k = was_x & ((x_rd0 + k) < x_cnt0)
-                dupk = (fat_ids[2 + S.KX + k:3 + S.KX + k, :]
-                        == fat_ids[2 + k:3 + k, :])
-                st_rows.append(jnp.where(
-                    live_k & ~dupk, fat_ids[2 + S.KX + k:3 + S.KX + k, :],
-                    -1))
-                dedupe_src[2 + S.KX + k] = (2 + k, dupk)
-            fat_st = jnp.concatenate(st_rows, axis=0)
-        else:
-            fat_st = fat_ids
+        # sync2 row layout: 0-1 = DFS fat ids, 2 = dfs flags, 3 = x flags
         stage[:] = jnp.concatenate(
-            [fat_st, jnp.zeros((SH - S.RQ, B), jnp.int32)], axis=0)
+            [kdfs >> fsh, dfs8, x8,
+             jnp.zeros((SH - 4, B), jnp.int32)], axis=0)
         sync_stage()
 
-        for q in range(S.RQ):
-            def issue_fat(b, _c, q=q):
-                i = sidx[q, b]
-                if OPT:
-                    @pl.when(i >= 0)
-                    def _go():
-                        pltpu.make_async_copy(
-                            tbl_ref.at[i], fatbuf.at[q * B + b],
-                            fsem).start()
-                else:
+        @pl.when(has_dfs)
+        def _issue_dfat():
+            for q in range(2):
+                for blk in range(NBLK):
+                    @pl.when(sidx[2, blk * ROWS8] > 0)
+                    def _b(blk=blk, q=q):
+                        for u in range(ROWS8):
+                            b = blk * ROWS8 + u
+                            pltpu.make_async_copy(
+                                tbl_ref.at[sidx[q, b]],
+                                fatbuf.at[q * B + b], fsem).start()
+
+        @pl.when(has_x)
+        def _wait_xfat():
+            for blk in range(NBLK):
+                @pl.when(sidx[3, blk * ROWS8] > 0)
+                def _b(blk=blk):
                     pltpu.make_async_copy(
-                        tbl_ref.at[i], fatbuf.at[q * B + b], fsem).start()
-                return _c
-            jax.lax.fori_loop(0, B, issue_fat, 0, unroll=B)
-        if OPT:
-            for q in range(S.RQ):
-                def wait_fat(b, _c, q=q):
-                    i = sidx[q, b]
-                    @pl.when(i >= 0)
-                    def _go():
-                        pltpu.make_async_copy(
-                            tbl_ref.at[0], fatbuf.at[q * B + b],
-                            fsem).wait()
-                    return _c
-                jax.lax.fori_loop(0, B, wait_fat, 0, unroll=B)
-        else:
-            pltpu.make_async_copy(tbl_ref.at[0:S.RQ * B], fatbuf,
-                                  fsem).wait()
+                        tbl_ref.at[0:ROWS8 * 2 * S.KX],
+                        fatbuf.at[0:ROWS8 * 2 * S.KX], fsem).wait()
+
+        @pl.when(has_dfs)
+        def _wait_dfat():
+            for blk in range(NBLK):
+                @pl.when(sidx[2, blk * ROWS8] > 0)
+                def _b(blk=blk):
+                    pltpu.make_async_copy(tbl_ref.at[0:2 * ROWS8],
+                                          fatbuf.at[0:2 * ROWS8],
+                                          fsem).wait()
 
         slabs = []
         for q in range(S.RQ):
             xt = fatbuf[q * B:(q + 1) * B, :].T            # [FATW, B]
-            if q in dedupe_src:
-                p, flag = dedupe_src[q]
-                xt = jnp.where(flag, fatbuf[p * B:(p + 1) * B, :].T, xt)
             sq = subm[q:q + 1, :]
             slab = xt[0:32]
             for v in range(1, S.FATB):
@@ -1214,11 +1313,18 @@ def _resident_kernel(S: _Static, *refs):
             X = S.XCAP
             xzp = (xzbuf[0 * X:1 * X, :], xzbuf[1 * X:2 * X, :],
                    xzbuf[2 * X:3 * X, :], xzbuf[3 * X:4 * X, :])
-            head_n, sv_n, oa_n, xa_n, cnd, nxt_n, xz_n = _iter_math(
-                S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
-                dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:],
-                xa_o[:], xzp=xzp)
-            xzbuf[:] = jnp.concatenate(xz_n, axis=0)
+            head_n, sv_n, oa_n, xa_n, cnd, nxt_n, xz_n, xz_dirty = \
+                _iter_math(
+                    S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
+                    dnw_ref[:], dsw_ref[:], head_o[:], sv_t, oa_o[:],
+                    xa_o[:], xzp=xzp,
+                    xv=nxt[1 + 2 * S.KX:1 + 4 * S.KX, :])
+
+            # skip the ~2 MB plane writeback on waves that touched no
+            # exact state (xz_n == xzp elementwise then)
+            @pl.when(xz_dirty)
+            def _xzw():
+                xzbuf[:] = jnp.concatenate(xz_n, axis=0)
         else:
             head_n, sv_n, oa_n, xa_n, cnd, nxt_n = _iter_math(
                 S, fcnt, LEN, carr_ref[:], rows, node4, rcx_ref[:],
@@ -1239,8 +1345,6 @@ def _resident_kernel(S: _Static, *refs):
             rows_l + [jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
             axis=0)                                        # [ROWW, B]
         framebuf[:] = frowT.T
-        if OPT:
-            frameT[:] = frowT      # lane-major image for next wave's pops
         if S.RING:
             wslot = fcnt % S.NFRAME
         else:
@@ -1301,8 +1405,7 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
     writes.  Results are bit-identical to run_loop/_search by
     construction (_iter_math is shared)."""
     S = _Static(params, cfg, B, Lmax, NROOT)
-    S.DEFER = S.XCAP > 0 and bool(int(
-        __import__("os").environ.get("BWBBLE_RESIDENT_OPT", "0")))
+    S.DEFER = S.XCAP > 0
     if NROOT != 1:
         raise ValueError(
             "backend='resident' covers int32 multiref searches without "
@@ -1579,9 +1682,10 @@ def _resident_call(S: _Static, kern, aN_shape, B, args):
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
         pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
-        pltpu.VMEM((S.ROWW, B), jnp.int32),                # frameT
-        pltpu.VMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # stage
-        pltpu.SMEM((_pad8(max(S.RQ, 8)), B), jnp.int32),   # sidx
+        pltpu.VMEM((_pad8(max(5 + 2 * S.KX, S.RQ, 8)), B),
+                   jnp.int32),                             # stage
+        pltpu.SMEM((_pad8(max(5 + 2 * S.KX, S.RQ, 8)), B),
+                   jnp.int32),                             # sidx
         pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz scratch
         pltpu.SemaphoreType.DMA(()),                       # psem
         pltpu.SemaphoreType.DMA(()),                       # fsem
