@@ -181,8 +181,12 @@ class _Static:
         # nxt feed-forward rows: node_next + 2*KX exact rank-row ids +
         # 2*KX exact slot VALUES (the (L-1, U) rank queries of the next
         # wave's exact streams, carried so the exact step reads them
-        # instead of re-picking [XCAP, B] planes), sublane-padded
-        self.NXW = _pad8(1 + 4 * self.KX)
+        # instead of re-picking [XCAP, B] planes) + 1 per-lane exact
+        # fetch-mask row (bit q = exact stream q's fat row must be DMAd:
+        # live slot AND not a duplicate of an earlier stream's fat row),
+        # sublane-padded
+        self.XMROW = 1 + 4 * self.KX if self.XCAP > 0 else 1 + 2 * self.KX
+        self.NXW = _pad8(self.XMROW + 1)
 
     def score_of(self, mm, go, ge):
         return mm * self.p_mm + go * self.p_go + ge * self.p_ge
@@ -977,8 +981,9 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     bucket2 = jnp.min(jnp.where(occ2, row_b, S.NB), axis=0, keepdims=True)
     node_next = _pick_rows(head, bucket2, S.NB)
     len_m1 = LEN - 1
+    xs_live = _iota((S.KX, B0), 0) < jnp.maximum(
+        st["x_cnt"] - (st["x_rd"] if xzp is not None else 0), 0)
     if xzp is None:
-        xs_live = _iota((S.KX, B0), 0) < st["x_cnt"]
         qL = jnp.where(xs_live, st["x_L"] - 1, 0)
         qU = jnp.where(xs_live, st["x_U"], 0)
     else:
@@ -1007,6 +1012,28 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     kxL = jnp.clip(qL, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
     kxU = jnp.clip(qU, 0, jnp.maximum(len_m1 - 1, 0)) // BLK
 
+    # per-lane exact fetch mask (bit q of 2*KX streams, order [L*, U*]):
+    # fetch only live slots of lanes that run exact next wave, and only
+    # the FIRST stream touching each 512-byte fat row — later streams
+    # with the same fat id reuse the fetched row (slab redirect in the
+    # resident kernel), so narrow interval lists cost ~1 DMA per slot
+    # instead of 2, and invalid slots cost none
+    fsh_m = S.FATB.bit_length() - 1
+    x_next = st["mode"] == MODE_EXACT
+    fids = [kxL[k:k + 1, :] >> fsh_m for k in range(S.KX)] + \
+           [kxU[k:k + 1, :] >> fsh_m for k in range(S.KX)]
+    needs = [x_next & xs_live[k % S.KX:k % S.KX + 1, :]
+             for k in range(2 * S.KX)]
+    xmask = jnp.zeros_like(ei)
+    fetches = []
+    for q in range(2 * S.KX):
+        dup = jnp.zeros_like(x_next)
+        for p in range(q):
+            dup = dup | (fetches[p] & (fids[p] == fids[q]))
+        fq = needs[q] & ~dup
+        fetches.append(fq)
+        xmask = xmask | (fq.astype(jnp.int32) << q)
+
     zero = jnp.zeros_like(ei)
     sv_n = jnp.concatenate(
         [st["mode"], st["best_score"], st["max_diff"], st["num_best"],
@@ -1026,14 +1053,14 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         # feed-forward: block ids for the DMA stage + the slot VALUES for
         # next wave's exact step; xz_dirty gates the plane writeback
         nxt = jnp.concatenate(
-            [node_next, kxL, kxU, qL, qU,
-             jnp.zeros((S.NXW - 1 - 4 * S.KX, B0), jnp.int32)], axis=0)
+            [node_next, kxL, kxU, qL, qU, xmask,
+             jnp.zeros((S.NXW - 2 - 4 * S.KX, B0), jnp.int32)], axis=0)
         xz_dirty = jnp.any(lanesx) | jnp.any(to_exact)
         return (head, sv_n, oa_n, xa_n, cnd, nxt, (pL0, pU0, pL1, pU1),
                 xz_dirty)
     nxt = jnp.concatenate(
-        [node_next, kxL, kxU,
-         jnp.zeros((S.NXW - 1 - 2 * S.KX, B0), jnp.int32)], axis=0)
+        [node_next, kxL, kxU, xmask,
+         jnp.zeros((S.NXW - 2 - 2 * S.KX, B0), jnp.int32)], axis=0)
     return head, sv_n, oa_n, xa_n, cnd, nxt
 
 
@@ -1174,17 +1201,13 @@ def _resident_kernel(S: _Static, *refs):
             def _wr():
                 pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
 
-        # ---- census + per-block need flags
+        # ---- census + per-lane / per-block need flags
         alive_l = mode0 != MODE_DONE
         # DFS streams serve every lane that may pop this wave: exactly the
         # was_dfs set under deferred resume (S.DEFER); without it (xcap=0)
         # an exact/emit lane can finish mid-wave and pop, so any alive
         # lane may need them
         dfs_need = was_dfs if S.DEFER else alive_l
-        dfs8 = _block_any8(dfs_need)
-        x8 = _block_any8(was_x)
-        dfs_any = jnp.any(dfs_need)
-        x_any = jnp.any(was_x)
 
         # ---- 1. pop-row fetch (mirrors glue's arena gather)
         nn = jnp.maximum(node - S.NROOT, 0)
@@ -1194,53 +1217,77 @@ def _resident_kernel(S: _Static, *refs):
         else:
             f = jnp.minimum(fq, S.NFRAME)                  # NAREN-1 trash ok
         is_root = node < S.NROOT
-        # one stage round-trip carries the pop rows, the need flags AND
-        # the exact-stream fat ids (known before the pop data arrives),
-        # so exact fat DMAs overlap the pop wait.  sync1 row layout:
-        # 0 = pop frame ids, 1 = dfs block flags, 2 = x block flags,
-        # 3 = global dfs flag, 4 = global x flag, 5.. = exact fat ids
+        # Per-lane DMA skipping: every issue (and its wait) is guarded by
+        # a per-lane flag staged through SMEM — a DONE lane pays two
+        # scalar branches instead of (1 + RQ) issues, a root pop skips
+        # its arena row (the words come from rtN), and the exact fetch
+        # mask (bit q = stream q's fat row is live AND not a duplicate of
+        # an earlier stream's row, computed in _iter_math) makes narrow
+        # interval lists cost ~1 DMA per slot instead of 2.  8-lane block
+        # guards remain as a cheap outer skip for fully dead blocks.
+        #
+        # sync1 row layout: 0 = pop frame ids, 1 = per-lane pop-fetch
+        # flag, 2 = per-lane exact fetch mask, 3 = global pop flag,
+        # 4 = global exact flag, 5 = pop 8-block flags, 6 = exact 8-block
+        # flags, 7 = global dfs flag, 8.. = exact fat ids
+        popfetch = dfs_need & ~is_root
+        xmask_v = nxt[S.XMROW:S.XMROW + 1]                 # (1, B)
         fat_x = nxt[1:1 + 2 * S.KX] >> fsh                 # [2KX, B]
         stage[:] = jnp.concatenate(
-            [f, dfs8, x8,
-             jnp.full((1, B), dfs_any.astype(jnp.int32), jnp.int32),
-             jnp.full((1, B), x_any.astype(jnp.int32), jnp.int32),
+            [f, popfetch.astype(jnp.int32), xmask_v,
+             jnp.full((1, B), jnp.any(popfetch).astype(jnp.int32),
+                      jnp.int32),
+             jnp.full((1, B), jnp.any(xmask_v != 0).astype(jnp.int32),
+                      jnp.int32),
+             _block_any8(popfetch), _block_any8(xmask_v != 0),
+             jnp.full((1, B), jnp.any(dfs_need).astype(jnp.int32),
+                      jnp.int32),
              fat_x,
-             jnp.zeros((SH - 5 - 2 * S.KX, B), jnp.int32)], axis=0)
+             jnp.zeros((SH - 8 - 2 * S.KX, B), jnp.int32)], axis=0)
         sync_stage()
-        has_dfs = sidx[3, 0] > 0
+        has_pop = sidx[3, 0] > 0
         has_x = sidx[4, 0] > 0
+        has_dfs = sidx[7, 0] > 0
 
-        @pl.when(has_dfs)
+        @pl.when(has_pop)
         def _issue_pop():
             for blk in range(NBLK):
-                @pl.when(sidx[1, blk * ROWS8] > 0)
+                @pl.when(sidx[5, blk * ROWS8] > 0)
                 def _b(blk=blk):
                     for u in range(ROWS8):
                         b = blk * ROWS8 + u
-                        pltpu.make_async_copy(
-                            aN_o.at[sidx[0, b], b], popbuf.at[b],
-                            psem).start()
+                        @pl.when(sidx[1, b] > 0)
+                        def _l(b=b):
+                            pltpu.make_async_copy(
+                                aN_o.at[sidx[0, b], b], popbuf.at[b],
+                                psem).start()
 
         @pl.when(has_x)
         def _issue_xfat():
-            for q in range(2, S.RQ):
-                for blk in range(NBLK):
-                    @pl.when(sidx[2, blk * ROWS8] > 0)
-                    def _b(blk=blk, q=q):
-                        for u in range(ROWS8):
-                            b = blk * ROWS8 + u
-                            pltpu.make_async_copy(
-                                tbl_ref.at[sidx[3 + q, b]],
-                                fatbuf.at[q * B + b], fsem).start()
+            for blk in range(NBLK):
+                @pl.when(sidx[6, blk * ROWS8] > 0)
+                def _b(blk=blk):
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        m = sidx[2, b]
+                        for q in range(2, S.RQ):
+                            @pl.when(((m >> (q - 2)) & 1) > 0)
+                            def _q(b=b, q=q):
+                                pltpu.make_async_copy(
+                                    tbl_ref.at[sidx[8 + q - 2, b]],
+                                    fatbuf.at[q * B + b], fsem).start()
 
-        @pl.when(has_dfs)
+        @pl.when(has_pop)
         def _wait_pop():
             for blk in range(NBLK):
-                @pl.when(sidx[1, blk * ROWS8] > 0)
+                @pl.when(sidx[5, blk * ROWS8] > 0)
                 def _b(blk=blk):
-                    # static 8-row slice = one issue block's byte count
-                    pltpu.make_async_copy(aN_o.at[0, 0:ROWS8],
-                                          popbuf.at[0:ROWS8], psem).wait()
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        @pl.when(sidx[1, b] > 0)
+                        def _l():
+                            pltpu.make_async_copy(
+                                aN_o.at[0, 0], popbuf.at[0], psem).wait()
 
         popT = popbuf[:].T                                 # [ROWW, B]
         s_ = nn - fq * S.NSLOT                             # (1, B)
@@ -1262,49 +1309,93 @@ def _resident_kernel(S: _Static, *refs):
         subm = jnp.concatenate(
             [kAll & (S.FATB - 1),
              jnp.zeros((S.SUBW - S.RQ, B), jnp.int32)], axis=0)
-        # sync2 row layout: 0-1 = DFS fat ids, 2 = dfs flags, 3 = x flags
+        # DFS fat-row dedupe: (eL - 1) and eU share one 512-byte fat row
+        # whenever the interval is narrower than the row span — the
+        # common case after a few extended chars — so stream 1 is only
+        # fetched when its row differs (slab redirect below)
+        fid_d = kdfs >> fsh                                # [2, B]
+        dup1 = fid_d[0:1, :] == fid_d[1:2, :]
+        fetch1 = dfs_need & ~dup1
+        # sync2 row layout: 0-1 = DFS fat ids, 2 = per-lane dfs flag,
+        # 3 = per-lane stream-1 fetch flag, 4 = dfs 8-block flags,
+        # 5 = exact fetch mask (copy), 6 = exact 8-block flags (copy)
         stage[:] = jnp.concatenate(
-            [kdfs >> fsh, dfs8, x8,
-             jnp.zeros((SH - 4, B), jnp.int32)], axis=0)
+            [fid_d, dfs_need.astype(jnp.int32), fetch1.astype(jnp.int32),
+             _block_any8(dfs_need), xmask_v, _block_any8(xmask_v != 0),
+             jnp.zeros((SH - 7, B), jnp.int32)], axis=0)
         sync_stage()
 
         @pl.when(has_dfs)
         def _issue_dfat():
-            for q in range(2):
-                for blk in range(NBLK):
-                    @pl.when(sidx[2, blk * ROWS8] > 0)
-                    def _b(blk=blk, q=q):
-                        for u in range(ROWS8):
-                            b = blk * ROWS8 + u
+            for blk in range(NBLK):
+                @pl.when(sidx[4, blk * ROWS8] > 0)
+                def _b(blk=blk):
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        @pl.when(sidx[2, b] > 0)
+                        def _l0(b=b):
                             pltpu.make_async_copy(
-                                tbl_ref.at[sidx[q, b]],
-                                fatbuf.at[q * B + b], fsem).start()
+                                tbl_ref.at[sidx[0, b]],
+                                fatbuf.at[b], fsem).start()
+                        @pl.when(sidx[3, b] > 0)
+                        def _l1(b=b):
+                            pltpu.make_async_copy(
+                                tbl_ref.at[sidx[1, b]],
+                                fatbuf.at[B + b], fsem).start()
 
         @pl.when(has_x)
         def _wait_xfat():
             for blk in range(NBLK):
-                @pl.when(sidx[3, blk * ROWS8] > 0)
+                @pl.when(sidx[6, blk * ROWS8] > 0)
                 def _b(blk=blk):
-                    pltpu.make_async_copy(
-                        tbl_ref.at[0:ROWS8 * 2 * S.KX],
-                        fatbuf.at[0:ROWS8 * 2 * S.KX], fsem).wait()
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        m = sidx[5, b]
+                        for q in range(2 * S.KX):
+                            @pl.when(((m >> q) & 1) > 0)
+                            def _q():
+                                pltpu.make_async_copy(
+                                    tbl_ref.at[0], fatbuf.at[0],
+                                    fsem).wait()
 
         @pl.when(has_dfs)
         def _wait_dfat():
             for blk in range(NBLK):
-                @pl.when(sidx[2, blk * ROWS8] > 0)
+                @pl.when(sidx[4, blk * ROWS8] > 0)
                 def _b(blk=blk):
-                    pltpu.make_async_copy(tbl_ref.at[0:2 * ROWS8],
-                                          fatbuf.at[0:2 * ROWS8],
-                                          fsem).wait()
+                    for u in range(ROWS8):
+                        b = blk * ROWS8 + u
+                        @pl.when(sidx[2, b] > 0)
+                        def _l0():
+                            pltpu.make_async_copy(
+                                tbl_ref.at[0], fatbuf.at[0], fsem).wait()
+                        @pl.when(sidx[3, b] > 0)
+                        def _l1():
+                            pltpu.make_async_copy(
+                                tbl_ref.at[0], fatbuf.at[0], fsem).wait()
 
+        # slab pick with duplicate-row redirect: a stream whose fat row
+        # was not fetched (dup of an earlier stream) picks from the
+        # earlier stream's buffer; unfetched AND un-duplicated streams
+        # (dead lanes / invalid slots) pick stale rows that downstream
+        # masks discard, exactly as the block-skip path always did
+        xts = [fatbuf[q * B:(q + 1) * B, :].T for q in range(S.RQ)]
+        effs = [xts[0], jnp.where(dup1, xts[0], xts[1])]
+        fbit = [(xmask_v >> q) & 1 for q in range(2 * S.KX)]
+        for q in range(2 * S.KX):
+            eff = xts[2 + q]
+            for p in range(q):
+                red = ((fbit[q] == 0) & (fbit[p] == 1)
+                       & (fat_x[p:p + 1, :] == fat_x[q:q + 1, :]))
+                eff = jnp.where(red, xts[2 + p], eff)
+            effs.append(eff)
         slabs = []
         for q in range(S.RQ):
-            xt = fatbuf[q * B:(q + 1) * B, :].T            # [FATW, B]
             sq = subm[q:q + 1, :]
-            slab = xt[0:32]
+            slab = effs[q][0:32]
             for v in range(1, S.FATB):
-                slab = jnp.where(sq == v, xt[32 * v:32 * (v + 1)], slab)
+                slab = jnp.where(sq == v, effs[q][32 * v:32 * (v + 1)],
+                                 slab)
             slabs.append(slab)
         rows = jnp.concatenate(slabs, axis=0)              # [RQ*32, B]
 
@@ -1682,9 +1773,9 @@ def _resident_call(S: _Static, kern, aN_shape, B, args):
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
         pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
-        pltpu.VMEM((_pad8(max(5 + 2 * S.KX, S.RQ, 8)), B),
+        pltpu.VMEM((_pad8(max(8 + 2 * S.KX, S.RQ, 8)), B),
                    jnp.int32),                             # stage
-        pltpu.SMEM((_pad8(max(5 + 2 * S.KX, S.RQ, 8)), B),
+        pltpu.SMEM((_pad8(max(8 + 2 * S.KX, S.RQ, 8)), B),
                    jnp.int32),                             # sidx
         pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz scratch
         pltpu.SemaphoreType.DMA(()),                       # psem

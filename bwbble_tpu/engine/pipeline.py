@@ -511,6 +511,15 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             sel = h["sel"]
             nwk = (np.asarray(res["n_work"]) if "n_work" in res
                    else np.zeros(h["nb"], np.int32))
+            if _TRACE:
+                live = nwk[:h["nb"]]
+                q = np.percentile(live, [50, 90, 99]).astype(int) \
+                    if live.size else [0, 0, 0]
+                wh = why[:h["nb"]][np.asarray(overflow[:h["nb"]], bool)]
+                hist = {int(b): int((wh & b != 0).sum()) for b in (1, 2, 4, 8)}
+                _tr(f"  launch n_work p50/p90/p99={list(q)} "
+                    f"max={int(live.max()) if live.size else 0} "
+                    f"ovwhy_hist={hist}")
             launch_failed: list[int] = []
             for b in range(h["nb"]):
                 orig = int(sel[b])
