@@ -895,7 +895,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["iters"] = st_["iters"] + 1
         return st_
 
-    pallas_ok = (not X64 and multiref and not HAS_SEEDS
+    pallas_ok = (not X64
                  and cfg.xsteps == 1 and didx.tp_axis is None
                  and B % 128 == 0)
     use_pallas = (cfg.backend in ("pallas", "resident")
@@ -904,13 +904,15 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     if use_pallas:
         if not pallas_ok:
             raise NotImplementedError(
-                "backend='pallas' covers int32 multiref searches without "
-                "seeds (B a multiple of 128)")
+                "backend='pallas' covers int32 searches "
+                "(B a multiple of 128, xsteps == 1, no tp sharding)")
         from bwbble_tpu.engine import kernel as _pk
-        if cfg.backend == "resident" and not QUEUED:
+        # the resident kernel covers NROOT == 1; seeded searches (-P,
+        # NROOT > 1) run the per-iteration kernel instead of raising
+        if cfg.backend == "resident" and not QUEUED and NROOT == 1:
             st = _pk.run_loop_resident(didx, state, params, cfg, B, Lmax,
                                        NROOT)
-        elif cfg.backend == "resident":
+        elif cfg.backend == "resident" and QUEUED and NROOT == 1:
             st = _pk.run_loop_resident_queued(
                 didx, state, params, cfg, B, Lmax, NROOT,
                 queued_ctx=dict(switch_step=switch_step, NR=NR, FL=FL))

@@ -124,7 +124,17 @@ class _Static:
         self.p_maxbest = int(params.max_best)
         self.p_noindel = int(params.no_indel_length)
         self.p_maxentries = int(params.max_entries)
-        self.chars = tuple(j for j in range(1, 16) if j not in _SKIP)
+        # multiref: the 11 non-skipped IUPAC codes; single-genome (-S):
+        # the Gray codes of A,G,C,T — the rank-slab columns line up so the
+        # expansion loop, snp counting (_IS_SNP[pure base] == 0) and the
+        # exact-completion candidate pick are shared (engine/inexact.py
+        # chars/jj mapping; rank_actg_dfs is a column projection of the
+        # exact-variant rank, engine/rank.py:142-149)
+        self.multiref = bool(params.is_multiref)
+        if self.multiref:
+            self.chars = tuple(j for j in range(1, 16) if j not in _SKIP)
+        else:
+            self.chars = tuple(int(x) for x in C.NT4_GRAY[:4])
         self.NC = len(self.chars)
         self.NSLOT = 1 + 2 * self.NC
         self.ACAP = int(cfg.acap)
@@ -376,11 +386,16 @@ def _merge_groups_tail(S: _Static, candL, candU, valid, tailU):
 
 
 def _exact_cands(S: _Static, occL, occU, c):
-    """The 7 candidate (L, U) slabs for a read base (nucl_bases rows) from
-    16-code rank slabs, as ([7, B0], [7, B0]) via a 4-way select on c."""
+    """The candidate (L, U) slabs for a read base from 16-code rank slabs
+    via a 4-way select on c: the 7 nucl_bases rows (multiref), or the one
+    exact Gray-code row (single-genome, exact_match_1to1_bounded — the
+    rank-slab column already carries C + occ + inc, so this equals the
+    rank1_pair path of the XLA body, bwt.c:348-372 sans the sentinel case
+    which needs c == 0 and never arises for pure bases)."""
     Lb, Ub = [], []
     for base in range(4):
-        syms = [int(x) for x in _NUCL[base]]
+        syms = ([int(x) for x in _NUCL[base]] if S.multiref
+                else [int(C.NT4_GRAY[base])])
         Lb.append(jnp.concatenate([occL[x:x + 1, :] for x in syms], axis=0))
         Ub.append(jnp.concatenate([occU[x:x + 1, :] for x in syms], axis=0))
     cl = jnp.where(c == 0, Lb[0], jnp.where(c == 1, Lb[1],
@@ -819,8 +834,10 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     live = live & ~to_exact
 
     # expansion ranks (rank_all_dfs_pair on the pre-gathered row pair)
-    Lv = _rank16(S, eL - 1, rows, 0, 1, True, LEN, carr16, carr17)
-    Uv = _rank16(S, eU, rows, 1, 0, True, LEN, carr16, carr17)
+    # expansion ranks: multiref uses the inexact-search variant (Q1 skip
+    # semantics); single-genome projects the exact variant (rank_actg)
+    Lv = _rank16(S, eL - 1, rows, 0, 1, S.multiref, LEN, carr16, carr17)
+    Uv = _rank16(S, eU, rows, 1, 0, S.multiref, LEN, carr16, carr17)
 
     allow_diff = jnp.ones_like(lanes)
     allow_mm = jnp.ones_like(lanes)
@@ -1159,12 +1176,16 @@ def _resident_kernel(S: _Static, *refs):
     NBLK = B // ROWS8
 
     def _block_any8(m):
-        """(1, B) bool -> (1, B) int32 where lane 8k = any(m[8k..8k+7])
-        (log lane-shift OR-tree; only block-start lanes are read)."""
+        """(1, B) bool -> (1, B) int32 where lane 8k >= any(m[8k..8k+7])
+        (log rotate-OR tree; only block-start lanes are read).  Uses
+        circular pltpu.roll — the lane-concat form hits an unimplemented
+        Mosaic concat lowering when the input carries an offset layout —
+        so the LAST block's flag may over-approximate (its window wraps
+        to lanes 0..6).  Harmless: block flags only gate per-lane guards,
+        which decide every actual issue/wait."""
         x = m.astype(jnp.int32)
         for sh in (1, 2, 4):
-            x = x | jnp.concatenate(
-                [x[:, sh:], jnp.zeros((1, sh), jnp.int32)], axis=1)
+            x = x | pltpu.roll(x, B - sh, 1)
         return x
 
     def cond(c):
@@ -1229,10 +1250,21 @@ def _resident_kernel(S: _Static, *refs):
         # sync1 row layout: 0 = pop frame ids, 1 = per-lane pop-fetch
         # flag, 2 = per-lane exact fetch mask, 3 = global pop flag,
         # 4 = global exact flag, 5 = pop 8-block flags, 6 = exact 8-block
-        # flags, 7 = global dfs flag, 8.. = exact fat ids
+        # flags, 7 = global dfs flag, 8.. = exact fat ids,
+        # 8+2KX = total pop issues, 9+2KX = total exact-fat issues
         popfetch = dfs_need & ~is_root
         xmask_v = nxt[S.XMROW:S.XMROW + 1]                 # (1, B)
         fat_x = nxt[1:1 + 2 * S.KX] >> fsh                 # [2KX, B]
+        # exact issue totals (count-proportional waits): per-lane guards
+        # keep dead lanes from ISSUING, and the wait side consumes the
+        # POPCOUNT of the same flags through chunked shared-semaphore
+        # waits — so neither side pays a per-lane scalar branch per wave
+        # (the round-3 static full-batch wait was cheap only because the
+        # issues were unconditional)
+        n_pop = jnp.sum(popfetch.astype(jnp.int32), dtype=jnp.int32)
+        n_x = jnp.zeros((), jnp.int32)
+        for q in range(2 * S.KX):
+            n_x = n_x + jnp.sum((xmask_v >> q) & 1, dtype=jnp.int32)
         stage[:] = jnp.concatenate(
             [f, popfetch.astype(jnp.int32), xmask_v,
              jnp.full((1, B), jnp.any(popfetch).astype(jnp.int32),
@@ -1243,11 +1275,32 @@ def _resident_kernel(S: _Static, *refs):
              jnp.full((1, B), jnp.any(dfs_need).astype(jnp.int32),
                       jnp.int32),
              fat_x,
-             jnp.zeros((SH - 8 - 2 * S.KX, B), jnp.int32)], axis=0)
+             jnp.full((1, B), n_pop, jnp.int32),
+             jnp.full((1, B), n_x, jnp.int32)]
+            + ([jnp.zeros((SH - 10 - 2 * S.KX, B), jnp.int32)]
+               if SH > 10 + 2 * S.KX else []), axis=0)
         sync_stage()
         has_pop = sidx[3, 0] > 0
         has_x = sidx[4, 0] > 0
         has_dfs = sidx[7, 0] > 0
+
+        def _wait_rows(sem, dst, src, n):
+            """Consume n single-row DMA completions on `sem` in chunks:
+            trips of 128 rows + a 7-bit binary remainder — O(n/128 + 7)
+            scalar ops instead of one guarded branch per issued row.  The
+            descriptors only supply the byte count; rows are uniform."""
+            def _w128(_, c):
+                pltpu.make_async_copy(src.at[pl.ds(0, 128)],
+                                      dst.at[pl.ds(0, 128)], sem).wait()
+                return c
+            jax.lax.fori_loop(0, n // 128, _w128, jnp.int32(0),
+                              unroll=False)
+            for k in range(6, -1, -1):
+                @pl.when(((n >> k) & 1) > 0)
+                def _wk(k=k):
+                    pltpu.make_async_copy(src.at[pl.ds(0, 1 << k)],
+                                          dst.at[pl.ds(0, 1 << k)],
+                                          sem).wait()
 
         @pl.when(has_pop)
         def _issue_pop():
@@ -1279,15 +1332,7 @@ def _resident_kernel(S: _Static, *refs):
 
         @pl.when(has_pop)
         def _wait_pop():
-            for blk in range(NBLK):
-                @pl.when(sidx[5, blk * ROWS8] > 0)
-                def _b(blk=blk):
-                    for u in range(ROWS8):
-                        b = blk * ROWS8 + u
-                        @pl.when(sidx[1, b] > 0)
-                        def _l():
-                            pltpu.make_async_copy(
-                                aN_o.at[0, 0], popbuf.at[0], psem).wait()
+            _wait_rows(psem, popbuf, aN_o.at[0], sidx[8 + 2 * S.KX, 0])
 
         popT = popbuf[:].T                                 # [ROWW, B]
         s_ = nn - fq * S.NSLOT                             # (1, B)
@@ -1318,11 +1363,15 @@ def _resident_kernel(S: _Static, *refs):
         fetch1 = dfs_need & ~dup1
         # sync2 row layout: 0-1 = DFS fat ids, 2 = per-lane dfs flag,
         # 3 = per-lane stream-1 fetch flag, 4 = dfs 8-block flags,
-        # 5 = exact fetch mask (copy), 6 = exact 8-block flags (copy)
+        # 5 = exact fetch mask (copy), 6 = exact 8-block flags (copy),
+        # 7 = total fsem issues (exact-fat + both DFS streams)
+        n_fat = (n_x + jnp.sum(dfs_need.astype(jnp.int32), dtype=jnp.int32)
+                 + jnp.sum(fetch1.astype(jnp.int32), dtype=jnp.int32))
         stage[:] = jnp.concatenate(
             [fid_d, dfs_need.astype(jnp.int32), fetch1.astype(jnp.int32),
              _block_any8(dfs_need), xmask_v, _block_any8(xmask_v != 0),
-             jnp.zeros((SH - 7, B), jnp.int32)], axis=0)
+             jnp.full((1, B), n_fat, jnp.int32),
+             jnp.zeros((SH - 8, B), jnp.int32)], axis=0)
         sync_stage()
 
         @pl.when(has_dfs)
@@ -1343,36 +1392,9 @@ def _resident_kernel(S: _Static, *refs):
                                 tbl_ref.at[sidx[1, b]],
                                 fatbuf.at[B + b], fsem).start()
 
-        @pl.when(has_x)
-        def _wait_xfat():
-            for blk in range(NBLK):
-                @pl.when(sidx[6, blk * ROWS8] > 0)
-                def _b(blk=blk):
-                    for u in range(ROWS8):
-                        b = blk * ROWS8 + u
-                        m = sidx[5, b]
-                        for q in range(2 * S.KX):
-                            @pl.when(((m >> q) & 1) > 0)
-                            def _q():
-                                pltpu.make_async_copy(
-                                    tbl_ref.at[0], fatbuf.at[0],
-                                    fsem).wait()
-
-        @pl.when(has_dfs)
-        def _wait_dfat():
-            for blk in range(NBLK):
-                @pl.when(sidx[4, blk * ROWS8] > 0)
-                def _b(blk=blk):
-                    for u in range(ROWS8):
-                        b = blk * ROWS8 + u
-                        @pl.when(sidx[2, b] > 0)
-                        def _l0():
-                            pltpu.make_async_copy(
-                                tbl_ref.at[0], fatbuf.at[0], fsem).wait()
-                        @pl.when(sidx[3, b] > 0)
-                        def _l1():
-                            pltpu.make_async_copy(
-                                tbl_ref.at[0], fatbuf.at[0], fsem).wait()
+        @pl.when(has_x | has_dfs)
+        def _wait_fat():
+            _wait_rows(fsem, fatbuf, tbl_ref, sidx[7, 0])
 
         # slab pick with duplicate-row redirect: a stream whose fat row
         # was not fetched (dup of an earlier stream) picks from the
@@ -1453,8 +1475,27 @@ def _resident_kernel(S: _Static, *refs):
         fcnt_n = fcnt + any_pop.astype(jnp.int32)
         if S.RING:
             # flush gate (engine/inexact.py body()): exit the segment so
-            # the XLA switch_step can flush finished lanes and refill
+            # the XLA switch_step can flush finished lanes and refill.
+            # Ring-age marking must run BEFORE the gate with the post-wave
+            # fcnt — the XLA body checks age at the TOP of each iteration,
+            # ahead of its flush check, so a lane aging out at fcnt_n
+            # counts toward nfin NOW; deferring it to the next wave's
+            # top-of-body check would fire the flush one wave later than
+            # the XLA loop and shift every subsequent refill (the
+            # top-of-body check stays — it re-marks idempotently and
+            # covers post-switch start_f updates)
             mode_n = sv_n[_SV_MODE:_SV_MODE + 1, :]
+            ring_over_n = (mode_n != MODE_DONE) \
+                & ((fcnt_n - start_f) >= S.NFRAME)
+            mode_n = jnp.where(ring_over_n, jnp.int32(MODE_DONE), mode_n)
+            sv_n = jnp.concatenate(
+                [mode_n, sv_n[1:_SV_OVER],
+                 sv_n[_SV_OVER:_SV_OVER + 1]
+                 | ring_over_n.astype(jnp.int32),
+                 sv_n[_SV_OVER + 1:]], axis=0)
+            sv_o[:] = sv_n
+            alive = jnp.sum((mode_n != MODE_DONE).astype(jnp.int32),
+                            dtype=jnp.int32)
             fin = (mode_n == MODE_DONE) & ~flushed
             nfin = jnp.sum(fin.astype(jnp.int32), dtype=jnp.int32)
             urgent = jnp.sum(
@@ -1599,11 +1640,11 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
     NR_q = int(queued_ctx["NR"])
     FL_q = int(queued_ctx["FL"])
     urg = max(2, S.NFRAME - (B // FL_q) - 2)
-    # flush gate: the XLA queue body flushes at >=16 finished lanes; each
-    # resident segment exit costs a pallas re-entry + switch_step (path
-    # walks), so gate at the full flush width instead (per-read results
-    # are assignment-invariant)
-    flg = FL_q
+    # flush gate: MUST mirror the XLA queue body's min(FL, 16) — ring-mode
+    # results are NOT assignment-invariant (a read's ring age ties its
+    # overflow/path outcomes to global flush timing), so a wider gate here
+    # desynchronizes refill order from the XLA loop and breaks bit parity
+    flg = min(FL_q, 16)
     lane_iota = jnp.arange(B, dtype=jnp.int32)
     length32 = didx.length.astype(jnp.int32)
     carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
@@ -1773,9 +1814,9 @@ def _resident_call(S: _Static, kern, aN_shape, B, args):
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # popbuf
         pltpu.VMEM((S.RQ * B, S.FATW), jnp.int32),         # fatbuf
         pltpu.VMEM((B, S.ROWW), jnp.int32),                # framebuf
-        pltpu.VMEM((_pad8(max(8 + 2 * S.KX, S.RQ, 8)), B),
+        pltpu.VMEM((_pad8(max(10 + 2 * S.KX, S.RQ, 8)), B),
                    jnp.int32),                             # stage
-        pltpu.SMEM((_pad8(max(8 + 2 * S.KX, S.RQ, 8)), B),
+        pltpu.SMEM((_pad8(max(10 + 2 * S.KX, S.RQ, 8)), B),
                    jnp.int32),                             # sidx
         pltpu.VMEM((4 * max(S.XCAP, 2), B), jnp.int32),    # xz scratch
         pltpu.SemaphoreType.DMA(()),                       # psem
@@ -1838,7 +1879,6 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
     conversion cost is ~20 small transposes amortized over the ~B/FL
     iterations between flushes."""
     S = _Static(params, cfg, B, Lmax, NROOT)
-    assert NROOT == 1
     QU = queued_ctx is not None
     S.RING = QU
     NAREN = state["aN"].shape[0]
@@ -1999,7 +2039,15 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
         sl1h = jnp.arange(S.NSLOT, dtype=jnp.int32)[None, :] == s_[:, None]
         aV = jnp.sum(jnp.where(sl1h[:, :, None], slots, 0), axis=1,
                      dtype=jnp.int32)                          # [B, 4]
-        node4 = jnp.where((node < S.NROOT)[:, None], rtN_c[:, 0], aV)
+        if S.NROOT == 1:
+            rootv = rtN_c[:, 0]
+        else:
+            # seeded search (-P): NROOT precalc root rows per lane
+            # (engine/inexact.py read_init; align.c:200-238)
+            rid = jnp.clip(node, 0, S.NROOT - 1)
+            rootv = jnp.take_along_axis(
+                rtN_c, rid[:, None, None], axis=1)[:, 0]
+        node4 = jnp.where((node < S.NROOT)[:, None], rootv, aV)
         eL, eU, m1 = node4[:, 0], node4[:, 1], node4[:, 2]
 
         # rank-table row gather in stream order, transposed lane-major

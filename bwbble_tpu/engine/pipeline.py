@@ -609,7 +609,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # resident tiers replace most host fallback, and only reads beyond
     # the deepest tier's frame budget go to gold.
     import jax as _jax
-    resident_on = (cfg.backend != "xla" and params.is_multiref
+    resident_on = (cfg.backend != "xla"
                    and mesh is None and precalc is None
                    and str(didx.idt) != "int64"
                    and cfg.xsteps == 1          # mirrors _search's pallas_ok
@@ -618,8 +618,11 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     if resident_on:
         # xcap=128: chunked exact completion — covers every interval-list
         # width observed on the chr21 worlds (p99 max ~85, never >256),
-        # so kx-overflow fallback disappears (kx becomes slots-per-wave)
-        cfg = dataclasses.replace(cfg, backend="resident", xcap=128)
+        # so kx-overflow fallback disappears (kx becomes slots-per-wave).
+        # Single-genome (-S) scans keep one interval (width <= 1 <= kx),
+        # so the legacy whole-list path is the cheaper fit there.
+        cfg = dataclasses.replace(cfg, backend="resident",
+                                  xcap=128 if params.is_multiref else 0)
 
     # Pre-route the per-chunk hardest quantile straight to gold as each D
     # chunk lands (keeps the host pool busy during the D phase).  With the
@@ -780,9 +783,10 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
         z = difficulty_scores(didx, reads, params, D_all=D_all)
         order = order[np.argsort(z[order], kind="stable")]
 
-    pallas_on = (cfg.backend != "xla" and params.is_multiref
+    pallas_on = (cfg.backend != "xla"
                  and mesh is None and precalc is None
                  and str(didx.idt) != "int64"
+                 and cfg.xsteps == 1
                  and _jax.default_backend() == "tpu")
     if pool is not None:
         if deep_tiers is None:

@@ -27,6 +27,11 @@ def world():
     acgt = np.array([15, 3, 7, 1], dtype=np.uint8)
     seq[:3300] = acgt[rng.integers(0, 4, size=3300)]
     seq[1600] = 0
+    # fwd + IUPAC reverse complement, as fasta2ref lays the index out
+    # (io.c:190-321): searches run the read's RC, which lands on the RC
+    # half — without it every fwd-strand read misses and the o_* parity
+    # comparisons are vacuous
+    seq = np.concatenate([seq, C.IUPAC_COMPL[seq[::-1]]])
     idx = FMIndex.build(seq)
     didx = DI.from_fmindex(idx)
     reads = []
@@ -168,6 +173,161 @@ def test_resident_kernel_matches_xla_body(world):
         lanes_a[:len(lanes_l)] = lanes_l
         nodes_a[:len(nodes_l)] = nodes_l
         nc = 11
+        kw = dict(nroot=1, nslot=1 + 2 * nc, nc=nc,
+                  pathcap=reads.max_len + 32)
+        p_ref = np.asarray(walk_paths(ref["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw))
+        p_got = np.asarray(walk_paths(got["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw))
+        np.testing.assert_array_equal(p_ref[:len(lanes_l)],
+                                      p_got[:len(lanes_l)])
+
+
+@pytest.mark.parametrize("backend", ["pallas", "resident"])
+def test_kernel_seeded_matches_xla_body(world, backend):
+    """-P coverage (VERDICT r2 item 4): precalc-seeded searches (NROOT > 1
+    root rows per lane, align.c:200-238) on the Pallas per-iteration
+    kernel must reproduce the XLA body exactly.  backend='resident'
+    covers the NROOT == 1 scope only and must route seeded searches to
+    the per-iteration kernel instead of raising."""
+    from bwbble_tpu.align.precalc import build_precalc_gold, read_indices
+
+    idx, didx, reads = world
+    K, S = 4, 128       # IUPAC-dense world: k=4 kmers carry up to ~96
+    params = AlnParams(max_diff=3, batch_size=128, use_precalc=True,
+                       precalc_len=K)
+    table = build_precalc_gold(idx, params, k=K)
+
+    B = 128
+    Lmax = reads.max_len
+    rc = np.zeros((B, Lmax), dtype=np.int8)
+    rc[:reads.count] = reads.rc
+    rc[reads.count:] = reads.rc[0]
+    lengths = np.full(B, reads.lengths[0], dtype=np.int32)
+    lengths[:reads.count] = reads.lengths
+    ri = read_indices(rc, lengths, k=K)
+    sL, sU, scnt, sover = table.lookup_batch(ri, S)
+    assert not sover.any()
+    assert int(scnt.max()) > 1          # real multi-root lanes
+    D, Ds, _ = _calc_d_chunk(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                             lengths, params, K=16)
+    cfg = EngineConfig(cap=8192, acap=24, kx=4, max_iters=40_000,
+                       backend="xla")
+    kw = dict(seed_L=jnp.asarray(sL), seed_U=jnp.asarray(sU),
+              seed_cnt=jnp.asarray(scnt))
+    ref = inexact_search(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                         D, Ds, params, cfg, **kw)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    assert int(ref["n_alns"][:reads.count].sum()) > 0
+
+    PK.INTERPRET = True
+    try:
+        got = inexact_search(didx, jnp.asarray(rc), jnp.asarray(lengths),
+                             D, Ds, params,
+                             dataclasses.replace(cfg, backend=backend),
+                             **kw)
+        got = {k: np.asarray(v) for k, v in got.items()}
+    finally:
+        PK.INTERPRET = False
+
+    for k in ("n_alns", "o_L", "o_U", "o_score", "o_len", "o_node",
+              "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
+              "iters", "n_pushed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    lanes_l, nodes_l = [], []
+    for b in range(reads.count):
+        if ref["overflow"][b]:
+            continue
+        for k in range(int(ref["n_alns"][b])):
+            lanes_l.append(b)
+            nodes_l.append(int(ref["o_node"][b, k]))
+    if lanes_l:
+        W = max(256, len(lanes_l))
+        lanes_a = np.zeros(W, dtype=np.int32)
+        nodes_a = np.full(W, -1, dtype=np.int32)
+        lanes_a[:len(lanes_l)] = lanes_l
+        nodes_a[:len(nodes_l)] = nodes_l
+        nc = 11
+        kw2 = dict(nroot=S, nslot=1 + 2 * nc, nc=nc,
+                   pathcap=reads.max_len + 32)
+        p_ref = np.asarray(walk_paths(ref["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw2))
+        p_got = np.asarray(walk_paths(got["arena"], jnp.asarray(lanes_a),
+                                      jnp.asarray(nodes_a), **kw2))
+        np.testing.assert_array_equal(p_ref[:len(lanes_l)],
+                                      p_got[:len(lanes_l)])
+
+
+@pytest.fixture(scope="module")
+def world_sg():
+    """Single-genome (-S) world: pure-ACGT reference, exact 1-to-1 rank
+    semantics (bwt.c:440-463 rank_actg / exact_match_1to1_bounded)."""
+    rng = np.random.default_rng(377)
+    acgt = np.asarray(C.NT4_GRAY[:4], dtype=np.uint8)
+    seq = acgt[rng.integers(0, 4, size=4000)].astype(np.uint8)
+    seq[1600] = 0
+    seq = np.concatenate([seq, C.IUPAC_COMPL[seq[::-1]]])  # fwd + RC half
+    idx = FMIndex.build(seq)
+    didx = DI.from_fmindex(idx)
+    gray_to_base = {int(g): b for b, g in enumerate(C.NT4_GRAY[:4])}
+    reads = []
+    L = 32
+    chars = "AGCT"
+    for r in range(48):
+        s = int(rng.integers(0, 3900 - L))
+        frag = [chars[gray_to_base.get(int(x), 0)] for x in seq[s:s + L]]
+        for _ in range(int(rng.integers(0, 3))):
+            frag[int(rng.integers(0, L))] = chars[int(rng.integers(0, 4))]
+        if r % 11 == 5:
+            p = int(rng.integers(2, L - 4))
+            del frag[p]                      # 1 bp deletion: exercises gaps
+            frag.append(chars[int(rng.integers(0, 4))])
+        reads.append("".join(frag))
+    fq = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                 for i, s in enumerate(reads))
+    return idx, didx, parse_fastq_bytes(fq.encode())
+
+
+@pytest.mark.parametrize("backend", ["pallas", "resident"])
+def test_kernel_single_genome_matches_xla_body(world_sg, backend):
+    """-S coverage (VERDICT r2 item 4): both the per-iteration Pallas
+    body and the resident multi-pop kernel must reproduce the XLA body
+    exactly in single-genome mode (chars = the 4 pure Gray codes,
+    rank_actg expansion semantics, single-interval exact completion)."""
+    idx, didx, reads = world_sg
+    params = AlnParams(max_diff=3, batch_size=128, is_multiref=False)
+    cfg = EngineConfig(cap=4096, acap=24, kx=4, max_iters=20_000,
+                       backend="xla")
+    ref = _run(didx, reads, params, cfg, idx)
+    assert int(np.asarray(ref["n_alns"]).sum()) > 0
+
+    PK.INTERPRET = True
+    try:
+        got = _run(didx, reads, params,
+                   dataclasses.replace(cfg, backend=backend), idx)
+    finally:
+        PK.INTERPRET = False
+
+    for k in ("n_alns", "o_L", "o_U", "o_score", "o_len", "o_node",
+              "o_mm", "o_go", "o_ge", "o_snp", "o_plen", "overflow",
+              "iters", "n_pushed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    lanes_l, nodes_l = [], []
+    for b in range(reads.count):
+        if ref["overflow"][b]:
+            continue
+        for k in range(int(ref["n_alns"][b])):
+            lanes_l.append(b)
+            nodes_l.append(int(ref["o_node"][b, k]))
+    if lanes_l:
+        W = max(256, len(lanes_l))
+        lanes_a = np.zeros(W, dtype=np.int32)
+        nodes_a = np.full(W, -1, dtype=np.int32)
+        lanes_a[:len(lanes_l)] = lanes_l
+        nodes_a[:len(nodes_l)] = nodes_l
+        nc = 4
         kw = dict(nroot=1, nslot=1 + 2 * nc, nc=nc,
                   pathcap=reads.max_len + 32)
         p_ref = np.asarray(walk_paths(ref["arena"], jnp.asarray(lanes_a),
