@@ -75,7 +75,8 @@ def subset_fastq(fq: str, n: int) -> str:
 
 
 def ensure_baseline(world: str, fa: str, fq: str, n_reads: int,
-                    tag: str = "") -> tuple[float, str]:
+                    tag: str = "",
+                    align_args: tuple = ("-n", "4")) -> tuple[float, str]:
     """Measure the reference aligner on (fa, fq) once; cache the result.
 
     Returns (matching_reads_per_sec, oracle_aln_path).  The rate divides
@@ -104,7 +105,7 @@ def ensure_baseline(world: str, fa: str, fq: str, n_reads: int,
     if os.path.exists(aln):
         os.remove(aln)
     t0 = time.time()
-    r = subprocess.run([exe, "align", "-n", "4", ofa, fq, aln],
+    r = subprocess.run([exe, "align", *align_args, ofa, fq, aln],
                        check=True, capture_output=True, text=True)
     dt = time.time() - t0
     # "Processed N reads. Inexact matching time: T sec." — cumulative
@@ -122,7 +123,8 @@ def ensure_baseline(world: str, fa: str, fq: str, n_reads: int,
                    "align_wall_s": round(dt, 3),
                    "matching_s": round(t_match, 3),
                    "num_reads": n_reads,
-                   "cmd": "bwbble align -n 4 (gcc -O3, 1 core, in-band)",
+                   "cmd": "bwbble align " + " ".join(align_args)
+                          + " (gcc -O3, 1 core, in-band)",
                    "date": time.strftime("%Y-%m-%d %H:%M:%S")}, f, indent=1)
     return rps_match, aln
 
@@ -216,8 +218,13 @@ def build_world_easy():
 def main():
     easy = "--easy" in sys.argv
     hard = "--hard" in sys.argv
+    # --single: BASELINE.json config 4 — plain 4-letter reference (-S),
+    # the BWA-equivalent 1-to-1 search path (exact_match.c:181-222,
+    # bwt.c:440-463) on the easy pure-ACGT world; runs the resident
+    # Pallas kernel in single-genome mode
+    single = "--single" in sys.argv
     t0 = time.time()
-    if easy:
+    if easy or single:
         idx, reads, world = build_world_easy()
         fa = os.path.join(world, "bench.fa")
         fq_bench = os.path.join(world, f"reads_{NUM_READS}.fq")
@@ -232,7 +239,10 @@ def main():
         fa = os.path.join(world, "mg_bubble.fa")
         fq_bench = subset_fastq(os.path.join(world, f"reads_{NUM_READS}.fq"),
                                 n_bench)
-    baseline, oracle_aln = ensure_baseline(world, fa, fq_bench, n_bench)
+    baseline, oracle_aln = ensure_baseline(
+        world, fa, fq_bench, n_bench,
+        tag="_S" if single else "",
+        align_args=("-n", "4", "-S") if single else ("-n", "4"))
     t_build = time.time() - t0
 
     import jax
@@ -252,8 +262,9 @@ def main():
     _ph(f"world + baseline ready ({t_build:.1f}s)")
     didx = from_fmindex(idx)
     _ph("device index uploaded")
-    if easy:
-        params = AlnParams(max_diff=4, batch_size=8192)
+    if easy or single:
+        params = AlnParams(max_diff=4, batch_size=8192,
+                           is_multiref=not single)
         cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
         d_cap = 16
     else:
@@ -263,7 +274,9 @@ def main():
         # escalating to (256, 64)-lane deep tiers; D bounds need K=64
         # interval slots on IUPAC-dense references
         params = AlnParams(max_diff=4, batch_size=1024)
-        cfg = EngineConfig(cap=327680, acap=24, kx=2, max_iters=500_000)
+        cfg = EngineConfig(cap=327680, acap=24, kx=2, max_iters=500_000,
+                           exit_alive=int(os.environ.get(
+                               "BWBBLE_EXIT_ALIVE", "0")))
         d_cap = 64
 
     # chr21 runs fixed difficulty-sorted batches: the ring-queue resident
@@ -273,9 +286,9 @@ def main():
     # past the frame budget; >35% of this workload is exact-heavy, and
     # doomed reads burn their full ring budget before failing.  Easy
     # worlds (pop-bounded reads) keep continuous batching.
-    queued = easy
+    queued = easy           # --single: fixed batches on the resident kernel
     qchunk = 2
-    if not easy:
+    if not (easy or single):
         idx.bit_planes()   # native gold rank substrate, built once
 
     # warm-up: one full pass compiles every shape
@@ -309,7 +322,7 @@ def main():
     dev_reads = reads.count - fallback
     sys.stderr.write(
         f"backend={jax.default_backend()} workload="
-        f"{'easy-5Mbp' if easy else ('chr21-hard' if hard else 'chr21-multigenome')} "
+        f"{'easy-5Mbp' if easy else 'single-5Mbp-S' if single else ('chr21-hard' if hard else 'chr21-multigenome')} "
         f"index_len={idx.length} build={t_build:.1f}s align={dt:.2f}s "
         f"aligned={n_aligned}/{reads.count} "
         f"end_to_end={reads_per_sec:.1f}r/s "
@@ -327,6 +340,7 @@ def main():
         f"tiers={stats.get('tiers', [])}\n")
     print(json.dumps({
         "metric": ("inexact_align_throughput_easy" if easy else
+                   "single_genome_align_throughput" if single else
                    "chr21_multigenome_hard_align_throughput" if hard else
                    "chr21_multigenome_align_throughput"),
         "value": round(reads_per_sec, 1),

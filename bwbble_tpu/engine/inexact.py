@@ -94,6 +94,12 @@ class EngineConfig:
     # resident kernel: exact-completion interval-list capacity (chunked,
     # kx slots ranked per wave); 0 = legacy whole-list-in-kx-slots path
     xcap: int = 0
+    # fixed-batch resident kernel: exit the launch once fewer than this
+    # many lanes are alive (0 = run to completion).  Straggler lanes time
+    # out -> overflow -> the escalation ladder retries them at a narrower
+    # tier, instead of the whole batch paying near-empty waves; results
+    # are identical because retried reads restart from scratch either way
+    exit_alive: int = 0
     # loop-body backend: "auto" = the Pallas mega-kernel (engine/kernel.py)
     # on TPU for the configs it covers (fixed batch, int32, multiref, no
     # seeds), XLA otherwise; "xla" / "pallas" force one path

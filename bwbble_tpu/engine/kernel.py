@@ -148,6 +148,7 @@ class _Static:
         # makes the device own every read the round-2 engine shipped to
         # the host for kx overflow.
         self.XCAP = int(getattr(cfg, "xcap", 0))
+        self.EXITA = int(getattr(cfg, "exit_alive", 0))
         # deferred DFS-resume (a lane finishing its exact scan / emission
         # pops next wave — a pure per-lane delay, output-identical): lets
         # the resident kernel know at wave start exactly which lanes pop,
@@ -1190,7 +1191,11 @@ def _resident_kernel(S: _Static, *refs):
 
     def cond(c):
         it, fcnt, alive, last_w, wpend, do_sw = c
-        return (alive > 0) & (it < max_iters) & (do_sw == 0)
+        # EXITA (fixed mode only): stop once the batch is nearly drained —
+        # straggler lanes time out into the escalation ladder rather than
+        # the whole batch paying near-empty waves
+        exit_a = 0 if S.RING else S.EXITA
+        return (alive > exit_a) & (it < max_iters) & (do_sw == 0)
 
     def body(c):
         it, fcnt, last_w, wpend = c[0], c[1], c[3], c[4]

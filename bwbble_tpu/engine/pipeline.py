@@ -846,6 +846,7 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
             tiers.append((deep_B, dataclasses.replace(
                 cfg, cap=deep_cap, acap=max(cfg.acap, 64),
                 kx=max(cfg.kx, deep_kx),
+                exit_alive=0,          # deep tiers must drain their batch
                 max_iters=max(cfg.max_iters, deep_cap // 23 + 1024))))
 
     import time as _time
