@@ -42,8 +42,12 @@ def main():
 
     params = AlnParams(max_diff=4, batch_size=lanes)
     backend = "auto" if fixed else "resident"
-    cfg = EngineConfig(cap=cap, acap=24, kx=2, max_iters=500_000,
-                       backend=backend)
+    xcap = int(os.environ.get("BWBBLE_QXCAP", "128"))
+    flush = int(os.environ.get("BWBBLE_QFLUSH", "64"))
+    qkx = int(os.environ.get("BWBBLE_QKX", "2"))
+    cfg = EngineConfig(cap=cap, acap=24, kx=qkx, max_iters=500_000,
+                       flush=flush,
+                       backend=backend, xcap=0 if fixed else xcap)
     queued = not fixed
 
     t0 = time.time()

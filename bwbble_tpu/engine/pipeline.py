@@ -1039,13 +1039,43 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     else:
         order = np.arange(NR, dtype=np.int64)
 
+    # overlapped host-gold pool (same auto condition as the fixed path):
+    # failed reads are submitted as soon as each launch collects, so the
+    # single-core gold work hides under the remaining device launches
+    # instead of running as a serial retry pipeline after the queue
+    # drains (measured 10.1 s of un-overlapped tail on the chr21 bench
+    # without this)
+    pool: _GoldPool | None = None
+    from bwbble_tpu.native import get_native
+    _natq = get_native()
+    if (params.is_multiref and _natq is not None
+            and getattr(_natq, "_has_gold", False) and NR > lanes):
+        try:
+            pool = _GoldPool(idx, reads, params, precalc,
+                             n_workers=max(1, int(params.n_threads)))
+        except Exception:
+            pool = None
+    if pool is not None and sort_reads:
+        # pre-route the hardest slice straight to gold NOW: a single big
+        # queued launch only reports its failures when it drains, so the
+        # host pool would otherwise idle through the whole device phase.
+        # ~10% of chr21 reads overflow the ring budget, and the D-based
+        # difficulty proxy concentrates them at the head of the
+        # hardest-first order; 6% keeps the pool busy for about as long
+        # as the launch runs on this box (one core, ~12 ms/hard read)
+        k = int(NR * float(os.environ.get("BWBBLE_QROUTE", "0.06")))
+        if k >= 32:
+            pool.submit([int(i) for i in order[:k]])
+            order = order[k:]
+    NQ = order.size                       # reads the queue itself serves
+
     Lmax = max(reads.max_len, 1)
-    rc_all = np.zeros((NR, Lmax), dtype=np.int8)
+    rc_all = np.zeros((NQ, Lmax), dtype=np.int8)
     rc_all[:, :reads.rc.shape[1]] = reads.rc[order]
     len_all = reads.lengths[order].astype(np.int32)
 
     seeds_all = None
-    seed_over = np.zeros((NR,), dtype=bool)
+    seed_over = np.zeros((NQ,), dtype=bool)
     if precalc is not None:
         from bwbble_tpu.align.precalc import read_indices
         ri = read_indices(rc_all, len_all, k=int(params.precalc_len))
@@ -1057,7 +1087,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     Ds_ord = jnp.take(Dsr_all, orderj, axis=0)
     dover = dov_raw[order]
 
-    Q = min(NR, max(1, int(qchunk)) * lanes)
+    Q = min(NQ, max(1, int(qchunk)) * lanes)
     pathcap = cfg.pathcap or (Lmax + 32)
     nroot = 1 if seeds_all is None else seeds_all[0].shape[1]
     # ring-mode iteration budget: each of the <= ceil(Q/lanes) reads a lane
@@ -1073,8 +1103,8 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     failed: list[int] = []
     iters_total = 0
     t_search = 0.0
-    for cs in range(0, NR, Q):
-        ce = min(cs + Q, NR)
+    for cs in range(0, NQ, Q):
+        ce = min(cs + Q, NQ)
         nb = ce - cs
         if nb < Q:
             # pad with copies of the chunk's last (easiest) read so every
@@ -1104,10 +1134,11 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
         # paths were walked on-device at flush time (ring arena)
         paths_all = np.asarray(res["paths"])[:nb]
 
+        chunk_failed: list[int] = []
         for r in range(nb):
             orig = int(order[cs + r])
             if overflow[r]:
-                failed.append(orig)
+                chunk_failed.append(orig)
                 continue
             alns = []
             for k in range(int(n_alns[r])):
@@ -1123,23 +1154,45 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                     num_snps=int(o["o_snp"][r, k]) & 0xFF,
                     aln_length=out_len, path=path))
             out[orig] = alns
+        failed.extend(chunk_failed)
 
-    n_retry = len(failed)
-    n_fallback = 0
-    if failed:
-        fi = np.array(failed, dtype=np.int64)
-        sub = Reads(names=[reads.names[i] for i in failed],
-                    seq=reads.seq[fi], rc=reads.rc[fi],
-                    qual=[reads.qual[i] for i in failed],
-                    lengths=reads.lengths[fi])
-        sub_stats: dict = {}
-        sub_out = align_reads_device(
-            idx, didx, sub, params, cfg, d_cap=d_cap, stats=sub_stats,
-            precalc=precalc, seed_slots=seed_slots, sort_reads=False,
-            queued=False)
-        for i, r in zip(failed, sub_out):
-            out[i] = r
-        n_fallback = sub_stats.get("fallback_reads", 0)
+    n_routed = pool.submitted if pool is not None else 0
+    n_retry = len(failed) + n_routed
+    n_fallback = n_routed
+    try:
+        if failed:
+            # retry on the fixed deep tier (narrow lanes, 4x the ring's
+            # per-read frame budget): it resolves about half the ring
+            # overflow at device speed, and streams ITS failures to a
+            # gold pool while it runs — the host core is the scarce
+            # resource, so reads only reach it after both engines pass
+            fi = np.array(failed, dtype=np.int64)
+            sub = Reads(names=[reads.names[i] for i in failed],
+                        seq=reads.seq[fi], rc=reads.rc[fi],
+                        qual=[reads.qual[i] for i in failed],
+                        lengths=reads.lengths[fi])
+            sub_stats: dict = {}
+            retry_B = 256
+            cell = max(int(cfg.cap) * lanes, 1 << 25)
+            sub_out = align_reads_device(
+                idx, didx, sub,
+                dataclasses.replace(params, batch_size=retry_B)
+                if len(failed) > retry_B else params,
+                dataclasses.replace(cfg, backend="auto",
+                                    cap=min(cell // retry_B, 4 << 20)),
+                d_cap=d_cap, stats=sub_stats,
+                precalc=precalc, seed_slots=seed_slots, sort_reads=True,
+                queued=False)
+            for i, r in zip(failed, sub_out):
+                out[i] = r
+            n_fallback += sub_stats.get("fallback_reads", 0)
+        if pool is not None:
+            for orig, alns in pool.drain().items():
+                out[orig] = alns
+            pool = None
+    finally:
+        if pool is not None:
+            pool.terminate()
     if stats is not None:
         stats.update(fallback_reads=n_fallback, retried_reads=n_retry,
                      iters=iters_total, t_dbounds=round(t_dbounds, 3),
