@@ -246,9 +246,17 @@ def main():
     t_build = time.time() - t0
 
     import jax
-    # NOTE: jax_compilation_cache_dir was tried here and produced wrong
-    # numerics on the experimental axon backend (every read flagged
-    # D-overflow); do not re-enable without a parity check.
+    # Persistent compilation cache (VERDICT r4 item 7): a fresh process
+    # pays ~5 min of XLA/Mosaic compilation for the tier shapes without
+    # it.  Round 3 blamed the cache for "every read flagged D-overflow";
+    # re-validated round 5 with a cold/warm parity probe: the overflow was
+    # the world's true K=4 behavior, numerics are identical with the
+    # cache on (same D bounds, same gold-parity alignments), and the JSON
+    # line still carries the .aln byte-parity bit as the backstop.
+    # BWBBLE_NO_COMPCACHE=1 opts out.
+    if not int(os.environ.get("BWBBLE_NO_COMPCACHE", "0")):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "jaxcache"))
     from bwbble_tpu.align.params import AlnParams
     from bwbble_tpu.engine.device_index import from_fmindex
     from bwbble_tpu.engine.inexact import EngineConfig
@@ -291,10 +299,13 @@ def main():
     if not (easy or single):
         idx.bit_planes()   # native gold rank substrate, built once
 
-    # warm-up: one full pass compiles every shape
+    # warm-up: one full pass compiles every shape (persistent-cached, so
+    # the second bench invocation on a machine replays compilations)
+    t_w0 = time.time()
     align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
                        queued=queued, qchunk=qchunk)
-    _ph("warm-up done")
+    t_warmup = time.time() - t_w0
+    _ph(f"warm-up done ({t_warmup:.1f}s)")
 
     import resource
     stats: dict = {}
@@ -320,6 +331,19 @@ def main():
     t_dev = sum(t.get("sec", 0.0) for t in stats.get("tiers", [])) \
         or stats.get("t_search", 0.0)
     dev_reads = reads.count - fallback
+
+    # HBM roofline (VERDICT r4 item 2): every row the resident kernel's
+    # own DMA moves is 512 bytes (pop rows, rank fat rows, frame writes);
+    # counters are accumulated in-kernel (engine/kernel.py _SC_POPN..)
+    # and summed per launch in the pipeline.  Peak: v5e HBM ~819 GB/s.
+    PEAK_GBPS = 819.0
+    dma_rows = (stats.get("dma_pop_rows", 0) + stats.get("dma_fat_rows", 0)
+                + stats.get("dma_wr_rows", 0))
+    t_s = stats.get("t_search", 0.0) or dt
+    hbm_gbps = dma_rows * 512.0 / t_s / 1e9 if t_s else 0.0
+    pct_peak = 100.0 * hbm_gbps / PEAK_GBPS
+    work_units = stats.get("work_units", 0)
+    work_per_sec = work_units / t_s if t_s else 0.0
     sys.stderr.write(
         f"backend={jax.default_backend()} workload="
         f"{'easy-5Mbp' if easy else 'single-5Mbp-S' if single else ('chr21-hard' if hard else 'chr21-multigenome')} "
@@ -337,6 +361,10 @@ def main():
         f"t_host={stats.get('t_host', 0):.2f}s "
         f"cpu_main={cpu_main:.1f}s cpu_gold={cpu_gold:.1f}s "
         f"prerouted={stats.get('prerouted', 0)} "
+        f"t_warmup={t_warmup:.1f}s "
+        f"waves={stats.get('waves', 0)} "
+        f"hbm_gbps={hbm_gbps:.1f} pct_peak={pct_peak:.2f}% "
+        f"work={work_units} ({work_per_sec / 1e6:.2f}M units/s) "
         f"tiers={stats.get('tiers', [])}\n")
     print(json.dumps({
         "metric": ("inexact_align_throughput_easy" if easy else
@@ -347,6 +375,10 @@ def main():
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_sec / baseline, 3),
         "parity": parity,
+        "t_warmup_s": round(t_warmup, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "pct_peak": round(pct_peak, 2),
+        "work_per_sec": round(work_per_sec, 0),
     }))
 
 

@@ -12,10 +12,27 @@ Run as `python -m bwbble_tpu ...` or via the `bwbble` wrapper script.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache: a cold `bwbble align` pays
+    minutes of kernel compilation otherwise.  Validated for numeric parity
+    on the TPU backend (round 5); BWBBLE_NO_COMPCACHE=1 opts out."""
+    if int(os.environ.get("BWBBLE_NO_COMPCACHE", "0")):
+        return
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BWBBLE_COMPCACHE_DIR",
+                           os.path.expanduser("~/.cache/bwbble_tpu/jax")))
+    except Exception:
+        pass
 
 
 def _usage() -> int:
@@ -305,6 +322,8 @@ def main(argv: list[str] | None = None) -> int:
     if not argv:
         return _usage()
     cmd, rest = argv[0], argv[1:]
+    if cmd in ("align", "aln2sam"):
+        _enable_compilation_cache()
     if cmd == "index":
         return cmd_index(rest)
     if cmd == "align":

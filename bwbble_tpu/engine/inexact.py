@@ -947,6 +947,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             overflow=(qm[:, 1] > 0) | (qm[:, 0] < 0),
             iters=st["iters"],
             n_pushed=st["n_pushed"],
+            # roofline counters (resident backend; absent on the XLA body)
+            dma_pop=st.get("dma_pop", jnp.int32(0)),
+            dma_fat=st.get("dma_fat", jnp.int32(0)),
+            dma_wr=st.get("dma_wr", jnp.int32(0)),
+            n_work=st.get("n_work", jnp.zeros((B,), jnp.int32)),
             # reverse-order state walks, filled at flush time (the ring
             # arena reuses frame rows, so no post-loop walk is possible)
             paths=st["q_paths"],
@@ -971,6 +976,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         # reason bits (1 kx, 2 acap, 4 path, 8 frames)
         n_work=st.get("n_work", jnp.zeros((B,), jnp.int32)),
         ovwhy=st.get("ovwhy", jnp.zeros((B,), jnp.int32)),
+        dma_pop=st.get("dma_pop", jnp.int32(0)),
+        dma_fat=st.get("dma_fat", jnp.int32(0)),
+        dma_wr=st.get("dma_wr", jnp.int32(0)),
         # frame rows stay device-resident; paths of reported alignments are
         # reconstructed afterwards over a host-compacted node list
         # (walk_paths) — states derive statically from a node's frame slot.

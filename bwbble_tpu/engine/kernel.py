@@ -1096,7 +1096,7 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
 # disappear entirely.  One launch runs a whole batch to completion.
 
 (_SC_FCNT, _SC_LEN, _SC_ITER, _SC_MAXIT, _SC_CNTR, _SC_NR, _SC_FLG,
- _SC_URG, _SC_DOSW) = range(9)
+ _SC_URG, _SC_DOSW, _SC_POPN, _SC_FATN, _SC_WRN) = range(12)
 
 
 def _resident_kernel(S: _Static, *refs):
@@ -1190,7 +1190,7 @@ def _resident_kernel(S: _Static, *refs):
         return x
 
     def cond(c):
-        it, fcnt, alive, last_w, wpend, do_sw = c
+        it, fcnt, alive, last_w, wpend, do_sw = c[:6]
         # EXITA (fixed mode only): stop once the batch is nearly drained —
         # straggler lanes time out into the escalation ladder rather than
         # the whole batch paying near-empty waves
@@ -1199,6 +1199,7 @@ def _resident_kernel(S: _Static, *refs):
 
     def body(c):
         it, fcnt, last_w, wpend = c[0], c[1], c[3], c[4]
+        cp, cf, cw = c[6], c[7], c[8]    # HBM DMA row counters (roofline)
         sv_t = sv_o[:]
         if S.RING:
             # ring budget: a read whose age reaches NFRAME is about to
@@ -1511,15 +1512,23 @@ def _resident_kernel(S: _Static, *refs):
                      | urgent).astype(jnp.int32)
         else:
             do_sw = jnp.int32(0)
-        return (it + 1, fcnt_n, alive, wslot, jnp.int32(1), do_sw)
+        # roofline counters: pop rows + rank fat rows actually DMA'd this
+        # wave (the same totals the chunked waits consume), plus the frame
+        # write's B rows — all 512-byte HBM rows
+        cp_n = cp + n_pop
+        cf_n = cf + n_fat
+        cw_n = cw + jnp.int32(B)
+        return (it + 1, fcnt_n, alive, wslot, jnp.int32(1), do_sw,
+                cp_n, cf_n, cw_n)
 
     alive0 = jnp.sum(
         (sv_i[_SV_MODE:_SV_MODE + 1, :] != MODE_DONE).astype(jnp.int32),
         dtype=jnp.int32)
-    it, fcnt, _, _, wpend, do_sw_f = jax.lax.while_loop(
+    (it, fcnt, _, _, wpend, do_sw_f, cpf, cff, cwf) = jax.lax.while_loop(
         cond, body,
         (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0,
-         jnp.int32(-1), jnp.int32(0), jnp.int32(0)))
+         jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     # drain the final in-flight frame write before the kernel exits
     if S.WROVL:
         @pl.when(wpend > 0)
@@ -1528,10 +1537,13 @@ def _resident_kernel(S: _Static, *refs):
     scal_o[0, _SC_FCNT] = fcnt
     scal_o[0, _SC_ITER] = it
     scal_o[0, _SC_DOSW] = do_sw_f
+    scal_o[0, _SC_POPN] = cpf
+    scal_o[0, _SC_FATN] = cff
+    scal_o[0, _SC_WRN] = cwf
     scal_o[0, _SC_LEN] = 0
     for k in range(3, 8):
         scal_o[0, k] = 0
-    for k in range(9, 16):
+    for k in range(12, 16):
         scal_o[0, k] = 0
 
 
@@ -1620,6 +1632,8 @@ def run_loop_resident(didx, state, params, cfg, B, Lmax, NROOT):
         x_L=xa_n[:S.KX].T, x_U=xa_n[S.KX:].T,
         n_work=sv[_SV_NWORK], ovwhy=sv[_SV_OVWHY],
         iters=scal_o[0, _SC_ITER], fcnt=scal_o[0, _SC_FCNT],
+        dma_pop=scal_o[0, _SC_POPN], dma_fat=scal_o[0, _SC_FATN],
+        dma_wr=scal_o[0, _SC_WRN],
     )
     return out
 
@@ -1741,7 +1755,10 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
                  qrow, table4, cr["aN"], cr["xz"]))
         cr2 = dict(cr, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n, nxt=nxt_n,
                    aN=aN_n, xz=xz_n, fcnt=scal_o[0, _SC_FCNT],
-                   iters=scal_o[0, _SC_ITER])
+                   iters=scal_o[0, _SC_ITER],
+                   dmp=cr["dmp"] + scal_o[0, _SC_POPN],
+                   dmf=cr["dmf"] + scal_o[0, _SC_FATN],
+                   dmw=cr["dmw"] + scal_o[0, _SC_WRN])
         do_sw = scal_o[0, _SC_DOSW] > 0
         # Drain-deadlock guard: the in-kernel wave loop requires alive > 0
         # to run a wave, so a segment that starts with zero alive lanes
@@ -1778,7 +1795,8 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
     nxt0 = jnp.zeros((S.NXW, B), jnp.int32).at[0].set(node0)
     carry = dict(aN=state["aN"], head=head0, sv=sv0, oa=oa0, xa=xa0,
                  nxt=nxt0, fcnt=state["fcnt"], iters=state["iters"],
-                 xz=jnp.zeros((4 * max(S.XCAP, 2), B), jnp.int32))
+                 xz=jnp.zeros((4 * max(S.XCAP, 2), B), jnp.int32),
+                 dmp=jnp.int32(0), dmf=jnp.int32(0), dmw=jnp.int32(0))
     carry.update({k: state[k] for k in qkeys})
     carry["rcx"], carry["dnw"], carry["dsw"] = _lane_tables(
         S, B, state["rc"], state["len"], state["D"], state["Ds"])
@@ -1793,6 +1811,7 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
         overflow=sv[_SV_OVER] != 0, n_pushed=sv[_SV_NPUSH],
         n_work=sv[_SV_NWORK], ovwhy=sv[_SV_OVWHY],
         iters=carry["iters"], fcnt=carry["fcnt"],
+        dma_pop=carry["dmp"], dma_fat=carry["dmf"], dma_wr=carry["dmw"],
     )
     out.update({k: carry[k] for k in qkeys})
     return out

@@ -475,6 +475,22 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
 
         def collect(h) -> None:
             res = h["res"]
+            # roofline accounting (resident backend): 512-byte HBM rows
+            # moved by the kernel's own DMA (pop rows + rank fat rows +
+            # frame writes) and serial work units executed
+            for ks, kd in (("dma_pop", "dma_pop_rows"),
+                           ("dma_fat", "dma_fat_rows"),
+                           ("dma_wr", "dma_wr_rows")):
+                if ks in res:
+                    counters[kd] = (counters.get(kd, 0)
+                                    + int(np.asarray(res[ks])))
+            if "iters" in res:
+                counters["waves"] = (counters.get("waves", 0)
+                                     + int(np.asarray(res["iters"])))
+            if "n_work" in res:
+                counters["work_units"] = (counters.get("work_units", 0)
+                                          + int(np.asarray(res["n_work"])
+                                                .sum()))
             n_alns = np.asarray(res["n_alns"])
             overflow = np.asarray(res["overflow"]) | h["seed_over"]
             why = (np.asarray(res["ovwhy"]) if "ovwhy" in res
@@ -1103,6 +1119,8 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     failed: list[int] = []
     iters_total = 0
     t_search = 0.0
+    dma = {"dma_pop_rows": 0, "dma_fat_rows": 0, "dma_wr_rows": 0,
+           "work_units": 0}
     for cs in range(0, NQ, Q):
         ce = min(cs + Q, NQ)
         nb = ce - cs
@@ -1126,6 +1144,13 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             params, cfg, lanes=lanes, **kw)
         iters_total += int(np.asarray(res["iters"]))
         t_search += _time.time() - t_sq
+        for ks, kd in (("dma_pop", "dma_pop_rows"),
+                       ("dma_fat", "dma_fat_rows"),
+                       ("dma_wr", "dma_wr_rows")):
+            if ks in res:
+                dma[kd] += int(np.asarray(res[ks]))
+        if "n_work" in res:
+            dma["work_units"] += int(np.asarray(res["n_work"]).sum())
         n_alns = np.asarray(res["n_alns"])[:nb]
         overflow = (np.asarray(res["overflow"])[:nb]
                     | dover[cs:ce] | seed_over[cs:ce])
@@ -1195,8 +1220,9 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             pool.terminate()
     if stats is not None:
         stats.update(fallback_reads=n_fallback, retried_reads=n_retry,
-                     iters=iters_total, t_dbounds=round(t_dbounds, 3),
+                     iters=iters_total, waves=iters_total,
+                     t_dbounds=round(t_dbounds, 3),
                      t_search=round(t_search, 3),
                      t_host=round(_time.time() - t_start - t_dbounds
-                                  - t_search, 3))
+                                  - t_search, 3), **dma)
     return out
