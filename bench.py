@@ -223,8 +223,12 @@ def main():
     # bwt.c:440-463) on the easy pure-ACGT world; runs the resident
     # Pallas kernel in single-genome mode
     single = "--single" in sys.argv
+    # --pre: BASELINE config with `-P` (12-mer precalc seeding,
+    # align.c:200-238, main.c:113) on the easy world; the device runs the
+    # seeded per-iteration Pallas kernel (NROOT > 1)
+    pre = "--pre" in sys.argv
     t0 = time.time()
-    if easy or single:
+    if easy or single or pre:
         idx, reads, world = build_world_easy()
         fa = os.path.join(world, "bench.fa")
         fq_bench = os.path.join(world, f"reads_{NUM_READS}.fq")
@@ -241,8 +245,9 @@ def main():
                                 n_bench)
     baseline, oracle_aln = ensure_baseline(
         world, fa, fq_bench, n_bench,
-        tag="_S" if single else "",
-        align_args=("-n", "4", "-S") if single else ("-n", "4"))
+        tag="_S" if single else "_P" if pre else "",
+        align_args=("-n", "4", "-S") if single
+        else ("-n", "4", "-P") if pre else ("-n", "4"))
     t_build = time.time() - t0
 
     import jax
@@ -270,11 +275,18 @@ def main():
     _ph(f"world + baseline ready ({t_build:.1f}s)")
     didx = from_fmindex(idx)
     _ph("device index uploaded")
-    if easy or single:
+    precalc = None
+    if easy or single or pre:
         params = AlnParams(max_diff=4, batch_size=8192,
-                           is_multiref=not single)
+                           is_multiref=not single, use_precalc=pre)
         cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
         d_cap = 16
+        if pre:
+            from bwbble_tpu.align.precalc import load_or_build_precalc
+            bwt = os.path.join(world, "bench.bwt")
+            precalc = load_or_build_precalc(idx, params, bwt + ".pre",
+                                            engine="device")
+            _ph("precalc table ready")
     else:
         # chr21 multi-genome: median read needs ~8k DFS pops (vs ~100 on
         # the easy world), so the primary tier runs narrower and deeper
@@ -287,23 +299,23 @@ def main():
                                "BWBBLE_EXIT_ALIVE", "0")))
         d_cap = 64
 
-    # chr21 runs fixed difficulty-sorted batches: the ring-queue resident
-    # mode was measured SLOWER here — ring age counts exact-completion
-    # waves (a read in a long chunked completion loses its arena history
-    # after NFRAME global waves), while fixed mode lets exact scans run
-    # past the frame budget; >35% of this workload is exact-heavy, and
-    # doomed reads burn their full ring budget before failing.  Easy
-    # worlds (pop-bounded reads) keep continuous batching.
-    queued = easy           # --single: fixed batches on the resident kernel
-    qchunk = 2
-    if not (easy or single):
+    # Continuous batching (ring-queue resident kernel) everywhere except
+    # --single: the round-5 per-lane pop clock made the ring budget
+    # per-read exact (exact-completion waves no longer age a read out),
+    # which removed the failure mode that made ring mode lose to fixed
+    # difficulty-sorted batches on exact-heavy worlds in rounds 3-4.
+    # --single and --pre keep fixed batches (the tested artifact paths
+    # for -S and the seeded per-iteration kernel).
+    queued = not (single or pre)
+    qchunk = 4
+    if not (easy or single or pre):
         idx.bit_planes()   # native gold rank substrate, built once
 
     # warm-up: one full pass compiles every shape (persistent-cached, so
     # the second bench invocation on a machine replays compilations)
     t_w0 = time.time()
     align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
-                       queued=queued, qchunk=qchunk)
+                       queued=queued, qchunk=qchunk, precalc=precalc)
     t_warmup = time.time() - t_w0
     _ph(f"warm-up done ({t_warmup:.1f}s)")
 
@@ -313,7 +325,8 @@ def main():
     c0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t1 = time.time()
     alns = align_reads_device(idx, didx, reads, params, cfg, d_cap=d_cap,
-                              stats=stats, queued=queued, qchunk=qchunk)
+                              stats=stats, queued=queued, qchunk=qchunk,
+                              precalc=precalc)
     dt = time.time() - t1
     r1 = resource.getrusage(resource.RUSAGE_SELF)
     c1 = resource.getrusage(resource.RUSAGE_CHILDREN)
@@ -346,7 +359,7 @@ def main():
     work_per_sec = work_units / t_s if t_s else 0.0
     sys.stderr.write(
         f"backend={jax.default_backend()} workload="
-        f"{'easy-5Mbp' if easy else 'single-5Mbp-S' if single else ('chr21-hard' if hard else 'chr21-multigenome')} "
+        f"{'easy-5Mbp' if easy else 'single-5Mbp-S' if single else 'precalc-5Mbp-P' if pre else ('chr21-hard' if hard else 'chr21-multigenome')} "
         f"index_len={idx.length} build={t_build:.1f}s align={dt:.2f}s "
         f"aligned={n_aligned}/{reads.count} "
         f"end_to_end={reads_per_sec:.1f}r/s "
@@ -365,10 +378,14 @@ def main():
         f"waves={stats.get('waves', 0)} "
         f"hbm_gbps={hbm_gbps:.1f} pct_peak={pct_peak:.2f}% "
         f"work={work_units} ({work_per_sec / 1e6:.2f}M units/s) "
+        f"dma_rows=pop:{stats.get('dma_pop_rows', 0)}"
+        f"/fat:{stats.get('dma_fat_rows', 0)}"
+        f"/wr:{stats.get('dma_wr_rows', 0)} "
         f"tiers={stats.get('tiers', [])}\n")
     print(json.dumps({
         "metric": ("inexact_align_throughput_easy" if easy else
                    "single_genome_align_throughput" if single else
+                   "precalc_seeded_align_throughput" if pre else
                    "chr21_multigenome_hard_align_throughput" if hard else
                    "chr21_multigenome_align_throughput"),
         "value": round(reads_per_sec, 1),

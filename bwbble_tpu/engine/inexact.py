@@ -174,16 +174,22 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     assert (CAP - NROOT) // NSLOT >= 2, \
         f"cfg.cap={CAP} too small: need >= {NROOT + 2 * NSLOT} rows"
     NFRAME = (CAP - NROOT) // NSLOT - 1
-    # Queue mode treats the arena as a RING over global iterations: frame f
-    # lives at slot f % NFRAME, node ids stay ABSOLUTE (monotonic), and each
-    # lane records the iteration its current read started (start_f).  A
-    # read's frame budget is then a full NFRAME iterations from ITS OWN
-    # start — not whatever happens to be left of a launch-global counter —
-    # so continuous batching composes with per-read capacity semantics.
-    # Safety: a lane is flagged overflow once its age reaches NFRAME (its
-    # oldest frame is about to be clobbered), and finished lanes are
-    # urgency-flushed well before that boundary (their parent chains are
-    # walked at flush time, see switch_step).
+    # Queue mode treats each lane's arena column as a RING over a PER-LANE
+    # pop clock `pf`: lane b's pushes at its pf-th pop land in slot
+    # pf % NFRAME of its own column, node ids are NROOT + pf*NSLOT + s
+    # (monotonic per lane), and start_f records the lane's pf when its
+    # current read started.  A read's frame budget is therefore NFRAME of
+    # ITS OWN pops — a pure per-read quantity — so (a) results are
+    # assignment-invariant (overflow <=> the read needs > NFRAME pops),
+    # and (b) waves a lane spends in exact-completion scans or emission
+    # cost it no budget and clobber none of its history.  (Round 3/4
+    # counted GLOBAL any-pop waves instead: a read inside a long chunked
+    # exact completion lost its arena history after NFRAME global waves,
+    # which made ring mode lose to fixed batches on exact-heavy worlds —
+    # STATUS r3 §4.)  Safety: a lane is flagged overflow once its age
+    # (own pops) reaches NFRAME, right before its oldest frame could be
+    # reused; finished lanes' frames stay intact until refill because a
+    # finished lane's pf is frozen.
     RING = QUEUED
     if RING:
         # prev links pack as (node+1) << 8 in meta2: node ids must fit 23
@@ -349,7 +355,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             counter=jnp.int32(min(B, NR)),
             # lanes beyond NR (duplicate initial reads) stay permanently idle
             flushed=jnp.arange(B) >= NR,
-            # ring clock: iteration the lane's current read started at
+            # per-lane pop clock (ring frame slots / node ids / age)
+            pf=jnp.zeros((B,), jnp.int32),
+            # ring clock: the lane's pf when its current read started
             start_f=jnp.zeros((B,), jnp.int32),
             # packed per-read result slabs:
             #   q_alns[r] = [L, U, score, len, node, m1, snp] x ACAP
@@ -578,8 +586,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         st_["n_alns"] = jnp.where(got, 0, st_["n_alns"])
         st_["flushed"] = st_["flushed"] & ~got
         st_["counter"] = st_["counter"] + n_assign
-        # ring clock: the new read's frame budget starts NOW
-        st_["start_f"] = jnp.where(got, st_["fcnt"], st_["start_f"])
+        # ring clock: the new read's frame budget starts at the lane's
+        # current pop count
+        st_["start_f"] = jnp.where(got, st_["pf"], st_["start_f"])
         return st_
 
     # --------------------------------------------------------- exact-scan step
@@ -798,9 +807,9 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         # ---- frame write at lane-uniform offset (no scatter)
         any_pop = jnp.any(lanes)
         if RING:
-            # absolute node ids; the ring-age check in body() replaces the
-            # launch-global frame_over
-            base = NROOT + st_["fcnt"] * NSLOT
+            # per-lane node ids from the lane's own pop clock; the ring-age
+            # check in body() replaces the launch-global frame_over
+            base = (NROOT + st_["pf"] * NSLOT)[:, None]       # [B, 1]
             st_["overflow"] = st_["overflow"] | path_over
         else:
             base = NROOT + jnp.minimum(st_["fcnt"], NFRAME) * NSLOT
@@ -840,10 +849,24 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         frow = jnp.concatenate(
             [candN, node[:, None],
              jnp.zeros((B, ROWW - 1 - NSLOT * NW), jnp.int32)], axis=1)
-        wslot = (st_["fcnt"] % NFRAME) if RING \
-            else jnp.minimum(st_["fcnt"], NFRAME)
-        st_["aN"] = jax.lax.dynamic_update_slice(
-            st_["aN"], frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
+        if RING:
+            # per-lane ring slots: lane b's row goes to slot pf[b] % NFRAME
+            # of its own column — and ONLY popped lanes write.  A garbage
+            # write for a non-popping lane would be safe while age <
+            # NFRAME (slot pf % NFRAME holds a dead frame of a previous
+            # read), but an overflow lane frozen at age == NFRAME has live
+            # frames spanning the whole ring, and a garbage write at
+            # pf % NFRAME == start_f % NFRAME would clobber its OLDEST
+            # live frame before the flush walk reads the chain.
+            wslot_b = st_["pf"] % NFRAME
+            cur_rows = st_["aN"][wslot_b, lane_iota]
+            frow_m = jnp.where(lanes[:, None], frow, cur_rows)
+            st_["aN"] = st_["aN"].at[wslot_b, lane_iota].set(frow_m)
+            st_["pf"] = st_["pf"] + lanes.astype(jnp.int32)
+        else:
+            wslot = jnp.minimum(st_["fcnt"], NFRAME)
+            st_["aN"] = jax.lax.dynamic_update_slice(
+                st_["aN"], frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
         st_["fcnt"] = st_["fcnt"] + any_pop.astype(jnp.int32)
         st_["n_pushed"] = st_["n_pushed"] + total
         st_["n_open"] = st_["n_open"] + total
@@ -861,10 +884,11 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
 
     def body(st_):
         if QUEUED:
-            # ring budget: a read whose age reaches NFRAME is about to lose
-            # its oldest frame row — flag it overflow (host fallback) before
-            # any stale row could be read
-            age = st_["fcnt"] - st_["start_f"]
+            # ring budget: a read that has made NFRAME pops is about to
+            # lose its oldest frame row — flag it overflow (host fallback)
+            # before any stale row could be read.  Age is the lane's OWN
+            # pop count since refill, so the budget is per-read exact.
+            age = st_["pf"] - st_["start_f"]
             ring_over = (st_["mode"] != MODE_DONE) & (age >= NFRAME)
             st_ = dict(st_)
             st_["overflow"] = st_["overflow"] | ring_over
@@ -883,7 +907,12 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
                      | ~jnp.any(st_["mode"] != MODE_DONE))
             urg = max(2, NFRAME - (B // FL) - 2)
             urgent = jnp.any(fin & (age >= urg))
-            do_sw = (nfin >= min(FL, 16)) | ((nfin > 0) & drain) | urgent
+            # gate at FL finished lanes (full flush batches): with the
+            # per-lane pop clock a finished lane's frames are frozen until
+            # refill, so waiting costs only idle lanes — and idle lanes
+            # are near-free in the resident kernel's per-lane DMA guards.
+            # cfg.flush is therefore the switch-amortization knob.
+            do_sw = (nfin >= FL) | ((nfin > 0) & drain) | urgent
             st_ = jax.lax.cond(do_sw, switch_step, lambda s: dict(s), st_)
         any_exact = jnp.any(st_["mode"] == MODE_EXACT)
 

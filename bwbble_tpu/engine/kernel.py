@@ -27,11 +27,17 @@ identical integer formulas and masked-select structure; the kernel is pure
 int32 arithmetic, so results are identical.  tests/test_kernel.py asserts
 equality of the result dict against the XLA body on the same inputs.
 
-Scope: int32 indices, multiref, no precalc seeds (the chr21/easy headline
-configs), in both fixed-batch and ring-arena queue mode (`queued_ctx`
-threads the queue-refill/flush glue through run_loop).  int64, 1-to-1
-(-S), seeds and xsteps>1 route to the XLA body via the
-EngineConfig.backend="auto" policy in engine/inexact.py.
+Dispatch matrix (engine/inexact.py:_search, EngineConfig.backend):
+- resident kernel (run_loop_resident / run_loop_resident_queued): int32,
+  B a multiple of 128, xsteps == 1, no tp sharding, NROOT == 1 — covers
+  multiref AND single-genome (-S) in fixed-batch and ring-queue modes;
+  chunked exact completion (cfg.xcap) handles interval lists up to XCAP.
+- per-iteration kernel (run_loop): same constraints but also NROOT > 1
+  (precalc -P seeds) via the rtN root rows.
+- XLA body: everything else — int64 indices, xsteps > 1, tp-sharded
+  index (rank psum over the mesh axis), non-128-multiple lane counts.
+Under a dp-only mesh (tp == 1) the Pallas kernels run per shard inside
+shard_map (parallel/shard.py).
 """
 
 from __future__ import annotations
@@ -72,7 +78,7 @@ _SH_MM, _SH_GO, _SH_GE, _SH_ST, _SH_PLEN = 8, 13, 16, 20, 22
 (_SV_MODE, _SV_BEST, _SV_MAXD, _SV_NBEST, _SV_NALN, _SV_OVER, _SV_NOPEN,
  _SV_NPUSH, _SV_XCNT, _SV_XJ, _SV_XNODE, _SV_XM1, _SV_XM2,
  _SV_POPPED, _SV_NWORK, _SV_OVWHY,
- _SV_XRD, _SV_XWR, _SV_XPAR, _SV_XTU, _SV_XEMIT) = range(21)
+ _SV_XRD, _SV_XWR, _SV_XPAR, _SV_XTU, _SV_XEMIT, _SV_PF) = range(22)
 NSV = 24
 
 def _pad8(n):
@@ -168,8 +174,11 @@ class _Static:
                    + (self.p_maxgapo + 1) * self.p_go
                    + (self.p_maxgape + 1) * self.p_ge)
         self.worst = self.NB
-        # queue mode: ring arena (absolute node ids, slot = fcnt % NFRAME;
-        # per-lane age overflow replaces the launch-global frame_over)
+        # queue mode: per-lane ring arena — node ids come from the lane's
+        # own pop clock (sv row _SV_PF), lane b's pushes land at slot
+        # pf[b] % NFRAME of its own column, and a read overflows once it
+        # has made NFRAME pops (age = pf - start_f, per-read exact;
+        # exact-completion waves cost no budget)
         self.RING = False
         # rank-row stream order: [L_dfs, U_dfs, xL_0..xL_{KX-1}, xU_0..]
         self.RQ = 2 + 2 * self.KX
@@ -920,10 +929,12 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         candM1[s] = _pack1(ei - 1, mmn, ego, ege, C.STATE_M, nplen)
         candSc[s] = S.score_of(mmn, ego, ege)
 
-    # frame bookkeeping (ring: absolute ids, per-lane age overflow handled
-    # in glue; fixed: trash-frame overflow semantics)
+    # frame bookkeeping (ring: per-lane node ids from the lane's own pop
+    # clock, age overflow handled in glue; fixed: trash-frame overflow
+    # semantics)
     if S.RING:
-        base = S.NROOT + fcnt * S.NSLOT
+        pf_row = sv_t[_SV_PF:_SV_PF + 1, :]                  # (1, B)
+        base = S.NROOT + pf_row * S.NSLOT
         frame_over = fcnt < 0                     # never
         st["overflow"] = st["overflow"] | path_over
     else:
@@ -1053,13 +1064,16 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         xmask = xmask | (fq.astype(jnp.int32) << q)
 
     zero = jnp.zeros_like(ei)
+    # ring: the lane's pop clock advances for exactly the popped lanes
+    # (the _SV_POPPED mask), minting the node ids the NEXT pop will use
+    pf_n = (pf_row + lanes.astype(jnp.int32)) if S.RING else zero
     sv_n = jnp.concatenate(
         [st["mode"], st["best_score"], st["max_diff"], st["num_best"],
          st["n_alns"], st["overflow"].astype(jnp.int32), st["n_open"],
          st["n_pushed"], st["x_cnt"], st["x_j"], st["x_node"], st["x_m1"],
          st["x_m2"], lanes.astype(jnp.int32), st["n_work"],
          st["ovwhy"], st["x_rd"], st["x_wr"], st["x_par"], st["x_tU"],
-         st["x_emit"]] + [zero] * (NSV - 21), axis=0)
+         st["x_emit"], pf_n] + [zero] * (NSV - 22), axis=0)
     oa_n = jnp.concatenate(
         [st["o_L"], st["o_U"], st["o_score"], st["o_len"], st["o_node"],
          st["o_m1"], st["o_snp"]], axis=0)
@@ -1189,6 +1203,24 @@ def _resident_kernel(S: _Static, *refs):
             x = x | pltpu.roll(x, B - sh, 1)
         return x
 
+    def _wait_rows(sem, dst, src, n):
+        """Consume n single-row DMA completions on `sem` in chunks:
+        trips of 128 rows + a 7-bit binary remainder — O(n/128 + 7)
+        scalar ops instead of one guarded branch per issued row.  The
+        descriptors only supply the byte count; rows are uniform."""
+        def _w128(_, c):
+            pltpu.make_async_copy(src.at[pl.ds(0, 128)],
+                                  dst.at[pl.ds(0, 128)], sem).wait()
+            return c
+        jax.lax.fori_loop(0, n // 128, _w128, jnp.int32(0),
+                          unroll=False)
+        for k in range(6, -1, -1):
+            @pl.when(((n >> k) & 1) > 0)
+            def _wk(k=k):
+                pltpu.make_async_copy(src.at[pl.ds(0, 1 << k)],
+                                      dst.at[pl.ds(0, 1 << k)],
+                                      sem).wait()
+
     def cond(c):
         it, fcnt, alive, last_w, wpend, do_sw = c[:6]
         # EXITA (fixed mode only): stop once the batch is nearly drained —
@@ -1202,10 +1234,12 @@ def _resident_kernel(S: _Static, *refs):
         cp, cf, cw = c[6], c[7], c[8]    # HBM DMA row counters (roofline)
         sv_t = sv_o[:]
         if S.RING:
-            # ring budget: a read whose age reaches NFRAME is about to
+            # ring budget: a read that has made NFRAME pops is about to
             # lose its oldest frame row — flag overflow + DONE before any
-            # stale row could be read (engine/inexact.py body())
-            age = fcnt - start_f
+            # stale row could be read (engine/inexact.py body()).  Age is
+            # the lane's OWN pop clock (per-read exact; exact-completion
+            # waves cost no budget)
+            age = sv_t[_SV_PF:_SV_PF + 1, :] - start_f
             mrow = sv_t[_SV_MODE:_SV_MODE + 1, :]
             ring_over = (mrow != MODE_DONE) & (age >= S.NFRAME)
             sv_t = jnp.concatenate(
@@ -1222,11 +1256,15 @@ def _resident_kernel(S: _Static, *refs):
         was_x = mode0 == MODE_EXACT
 
         if S.WROVL:
-            # the previous wave's frame write must land before this wave's
-            # arena reads
-            @pl.when(wpend > 0)
-            def _wr():
-                pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
+            # the previous wave's frame writes must land before this wave's
+            # arena reads (ring: wpend counts per-lane row writes)
+            if S.RING:
+                _wait_rows(wsem, framebuf, aN_o.at[0], wpend)
+            else:
+                @pl.when(wpend > 0)
+                def _wr():
+                    pltpu.make_async_copy(framebuf, aN_o.at[0],
+                                          wsem).wait()
 
         # ---- census + per-lane / per-block need flags
         alive_l = mode0 != MODE_DONE
@@ -1289,24 +1327,6 @@ def _resident_kernel(S: _Static, *refs):
         has_pop = sidx[3, 0] > 0
         has_x = sidx[4, 0] > 0
         has_dfs = sidx[7, 0] > 0
-
-        def _wait_rows(sem, dst, src, n):
-            """Consume n single-row DMA completions on `sem` in chunks:
-            trips of 128 rows + a 7-bit binary remainder — O(n/128 + 7)
-            scalar ops instead of one guarded branch per issued row.  The
-            descriptors only supply the byte count; rows are uniform."""
-            def _w128(_, c):
-                pltpu.make_async_copy(src.at[pl.ds(0, 128)],
-                                      dst.at[pl.ds(0, 128)], sem).wait()
-                return c
-            jax.lax.fori_loop(0, n // 128, _w128, jnp.int32(0),
-                              unroll=False)
-            for k in range(6, -1, -1):
-                @pl.when(((n >> k) & 1) > 0)
-                def _wk(k=k):
-                    pltpu.make_async_copy(src.at[pl.ds(0, 1 << k)],
-                                          dst.at[pl.ds(0, 1 << k)],
-                                          sem).wait()
 
         @pl.when(has_pop)
         def _issue_pop():
@@ -1465,13 +1485,47 @@ def _resident_kernel(S: _Static, *refs):
             axis=0)                                        # [ROWW, B]
         framebuf[:] = frowT.T
         if S.RING:
-            wslot = fcnt % S.NFRAME
+            # per-lane ring slots: lane b's row goes to slot pf[b] % NFRAME
+            # of its own column (pf = the lane's pop clock BEFORE this
+            # wave's increment — the ids minted this wave used that base).
+            # Only popped lanes write; non-popping lanes' rows are garbage
+            # and their pf is unchanged, so skipping them is free.
+            # stage3 rows: 0 = write slot, 1 = popped flag, 2 = 8-block
+            # flags, 3 = total writes
+            popped_v = sv_n[_SV_POPPED:_SV_POPPED + 1, :]
+            wslot_v = sv_t[_SV_PF:_SV_PF + 1, :] % S.NFRAME
+            n_wr = jnp.sum(popped_v, dtype=jnp.int32)
+            stage[:] = jnp.concatenate(
+                [wslot_v, popped_v, _block_any8(popped_v != 0),
+                 jnp.full((1, B), n_wr, jnp.int32),
+                 jnp.zeros((SH - 4, B), jnp.int32)], axis=0)
+            sync_stage()
+
+            @pl.when(sidx[3, 0] > 0)
+            def _issue_wr():
+                for blk in range(NBLK):
+                    @pl.when(sidx[2, blk * ROWS8] > 0)
+                    def _b(blk=blk):
+                        for u in range(ROWS8):
+                            b = blk * ROWS8 + u
+                            @pl.when(sidx[1, b] > 0)
+                            def _l(b=b):
+                                pltpu.make_async_copy(
+                                    framebuf.at[b],
+                                    aN_o.at[sidx[0, b], b], wsem).start()
+            wpend_n = sidx[3, 0]
+            if not S.WROVL:
+                _wait_rows(wsem, framebuf, aN_o.at[0], wpend_n)
+                wpend_n = jnp.int32(0)
+            wslot = fcnt % S.NFRAME        # carried for diagnostics only
         else:
             wslot = jnp.minimum(fcnt, S.NFRAME)
-        wcp = pltpu.make_async_copy(framebuf, aN_o.at[wslot], wsem)
-        wcp.start()
-        if not S.WROVL:
-            wcp.wait()
+            wcp = pltpu.make_async_copy(framebuf, aN_o.at[wslot], wsem)
+            wcp.start()
+            wpend_n = jnp.int32(1)
+            if not S.WROVL:
+                wcp.wait()
+                wpend_n = jnp.int32(0)
 
         any_pop = jnp.sum(sv_n[_SV_POPPED:_SV_POPPED + 1, :],
                           dtype=jnp.int32) > 0
@@ -1491,8 +1545,8 @@ def _resident_kernel(S: _Static, *refs):
             # top-of-body check stays — it re-marks idempotently and
             # covers post-switch start_f updates)
             mode_n = sv_n[_SV_MODE:_SV_MODE + 1, :]
-            ring_over_n = (mode_n != MODE_DONE) \
-                & ((fcnt_n - start_f) >= S.NFRAME)
+            age_n = sv_n[_SV_PF:_SV_PF + 1, :] - start_f
+            ring_over_n = (mode_n != MODE_DONE) & (age_n >= S.NFRAME)
             mode_n = jnp.where(ring_over_n, jnp.int32(MODE_DONE), mode_n)
             sv_n = jnp.concatenate(
                 [mode_n, sv_n[1:_SV_OVER],
@@ -1505,7 +1559,7 @@ def _resident_kernel(S: _Static, *refs):
             fin = (mode_n == MODE_DONE) & ~flushed
             nfin = jnp.sum(fin.astype(jnp.int32), dtype=jnp.int32)
             urgent = jnp.sum(
-                (fin & ((fcnt_n - start_f) >= URG)).astype(jnp.int32),
+                (fin & (age_n >= URG)).astype(jnp.int32),
                 dtype=jnp.int32) > 0
             drain = (counter >= NRs) | (alive == 0)
             do_sw = ((nfin >= FLG) | ((nfin > 0) & drain)
@@ -1517,8 +1571,8 @@ def _resident_kernel(S: _Static, *refs):
         # write's B rows — all 512-byte HBM rows
         cp_n = cp + n_pop
         cf_n = cf + n_fat
-        cw_n = cw + jnp.int32(B)
-        return (it + 1, fcnt_n, alive, wslot, jnp.int32(1), do_sw,
+        cw_n = cw + (wpend_n if S.RING else jnp.int32(B))
+        return (it + 1, fcnt_n, alive, wslot, wpend_n, do_sw,
                 cp_n, cf_n, cw_n)
 
     alive0 = jnp.sum(
@@ -1529,11 +1583,14 @@ def _resident_kernel(S: _Static, *refs):
         (scal_ref[0, _SC_ITER], scal_ref[0, _SC_FCNT], alive0,
          jnp.int32(-1), jnp.int32(0), jnp.int32(0),
          jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    # drain the final in-flight frame write before the kernel exits
+    # drain the final in-flight frame write(s) before the kernel exits
     if S.WROVL:
-        @pl.when(wpend > 0)
-        def _wr2():
-            pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
+        if S.RING:
+            _wait_rows(wsem, framebuf, aN_o.at[0], wpend)
+        else:
+            @pl.when(wpend > 0)
+            def _wr2():
+                pltpu.make_async_copy(framebuf, aN_o.at[0], wsem).wait()
     scal_o[0, _SC_FCNT] = fcnt
     scal_o[0, _SC_ITER] = it
     scal_o[0, _SC_DOSW] = do_sw_f
@@ -1647,7 +1704,15 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
     (total work / B)-bound instead of per-batch max-bound — the fixed
     tiers measured ~2.7x lockstep waste on the chr21 mix."""
     S = _Static(params, cfg, B, Lmax, NROOT)
-    S.DEFER = False
+    # Deferred DFS-resume (see _Static.DEFER): a lane finishing its exact
+    # scan pops NEXT wave, so exact-mode lanes skip the pop-row and DFS
+    # fat-row DMAs entirely.  Per-READ results are delay-invariant (the
+    # per-lane pop clock makes node ids a function of the lane's pop
+    # SEQUENCE, not wave timing); flush timing can shift by a wave, so
+    # per-LANE diagnostics (o_node, n_pushed) may differ from the
+    # XLA queue body's — the parity tests compare per-read outputs.
+    S.DEFER = S.XCAP > 0 and bool(int(
+        __import__("os").environ.get("BWBBLE_RING_DEFER", "1")))
     S.RING = True
     if NROOT != 1:
         raise ValueError(
@@ -1659,11 +1724,12 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
     NR_q = int(queued_ctx["NR"])
     FL_q = int(queued_ctx["FL"])
     urg = max(2, S.NFRAME - (B // FL_q) - 2)
-    # flush gate: MUST mirror the XLA queue body's min(FL, 16) — ring-mode
-    # results are NOT assignment-invariant (a read's ring age ties its
-    # overflow/path outcomes to global flush timing), so a wider gate here
-    # desynchronizes refill order from the XLA loop and breaks bit parity
-    flg = min(FL_q, 16)
+    # flush gate: mirrors the XLA queue body's `nfin >= FL`.  Per-READ
+    # results are assignment-invariant under the per-lane pop clock
+    # (overflow <=> the read needs > NFRAME pops), but per-LANE
+    # diagnostics (o_node ids, n_pushed) still depend on refill order,
+    # and the parity tests compare those — keep the gates identical.
+    flg = FL_q
     lane_iota = jnp.arange(B, dtype=jnp.int32)
     length32 = didx.length.astype(jnp.int32)
     carrv = jnp.concatenate([didx.Carr.astype(jnp.int32),
@@ -1702,7 +1768,7 @@ def run_loop_resident_queued(didx, state, params, cfg, B, Lmax, NROOT,
             o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
             o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
             x_L=cr["xa"][:S.KX].T, x_U=cr["xa"][S.KX:].T,
-            fcnt=cr["fcnt"], iters=cr["iters"])
+            pf=sv[_SV_PF], fcnt=cr["fcnt"], iters=cr["iters"])
         d.update({k: cr[k] for k in qkeys})
         return d
 
@@ -1989,19 +2055,21 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
             o_m1=oa[5 * S.ACAP:6 * S.ACAP].T,
             o_snp=oa[6 * S.ACAP:7 * S.ACAP].T,
             x_L=cr["xa"][:S.KX].T, x_U=cr["xa"][S.KX:].T,
-            fcnt=cr["fcnt"], iters=cr["iters"])
+            pf=sv[_SV_PF], fcnt=cr["fcnt"], iters=cr["iters"])
         d.update({k: cr[k] for k in qkeys})
         return d
 
     def dict_to_carry(d, cr):
         """Repack switch_step's dict back into the carry; recompute the
-        pop-node feed-forward (refilled lanes have fresh heads)."""
-        zb = jnp.zeros((B,), jnp.int32)
-        sv = jnp.stack(
+        pop-node feed-forward (refilled lanes have fresh heads).  Rows
+        13+ (diagnostics + the per-lane pop clock) carry through from the
+        pre-switch sv — switch_step never modifies them."""
+        base13 = jnp.stack(
             [d["mode"], d["best_score"], d["max_diff"], d["num_best"],
              d["n_alns"], d["overflow"].astype(jnp.int32), d["n_open"],
              d["n_pushed"], d["x_cnt"], d["x_j"], d["x_node"], d["x_m1"],
-             d["x_m2"]] + [zb] * (NSV - 13), axis=0)
+             d["x_m2"]], axis=0)
+        sv = jnp.concatenate([base13, cr["sv"][13:]], axis=0)
         oa = jnp.concatenate(
             [d["o_L"].T, d["o_U"].T, d["o_score"].T, d["o_len"].T,
              d["o_node"].T, d["o_m1"].T, d["o_snp"].T], axis=0)
@@ -2029,9 +2097,10 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
     def step(carry):
         if QU:
             # ring-age overflow + flush/refill gating (mirrors the XLA
-            # body(); parity-tested there)
+            # body(); parity-tested there).  Age = the lane's own pop
+            # clock since refill (per-read exact)
             sv = carry["sv"]
-            age = carry["fcnt"] - carry["start_f"]
+            age = sv[_SV_PF] - carry["start_f"]
             ring_over = (sv[_SV_MODE] != MODE_DONE) & (age >= S.NFRAME)
             sv = sv.at[_SV_MODE].set(
                 jnp.where(ring_over, MODE_DONE, sv[_SV_MODE]))
@@ -2044,7 +2113,7 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
                      | ~jnp.any(sv[_SV_MODE] != MODE_DONE))
             urg = max(2, S.NFRAME - (B // FL_q) - 2)
             urgent = jnp.any(fin & (age >= urg))
-            do_sw = (nfin >= min(FL_q, 16)) | ((nfin > 0) & drain) | urgent
+            do_sw = (nfin >= FL_q) | ((nfin > 0) & drain) | urgent
             carry = jax.lax.cond(do_sw, switch_wrap,
                                  lambda c: dict(c), carry)
         aN = carry["aN"]
@@ -2129,10 +2198,20 @@ def run_loop(didx, state, params, cfg, B, Lmax, NROOT, queued_ctx=None):
              jnp.zeros((S.ROWW - 1 - 4 * S.NSLOT, B), jnp.int32)],
             axis=0).T                                          # [B, ROWW]
         any_pop = jnp.any(sv_n[_SV_POPPED] > 0)
-        wslot = (carry["fcnt"] % S.NFRAME) if QU \
-            else jnp.minimum(carry["fcnt"], S.NFRAME)
-        aN = jax.lax.dynamic_update_slice(
-            aN, frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
+        if QU:
+            # per-lane ring slots from the lane's pop clock BEFORE this
+            # wave's increment; popped lanes only (engine/inexact.py
+            # dfs_step RING write — a garbage write would clobber an
+            # age==NFRAME overflow lane's oldest live frame)
+            wslot_b = carry["sv"][_SV_PF] % S.NFRAME
+            popped_b = sv_n[_SV_POPPED] > 0
+            cur_rows = aN[wslot_b, lane_iota]
+            aN = aN.at[wslot_b, lane_iota].set(
+                jnp.where(popped_b[:, None], frow, cur_rows))
+        else:
+            wslot = jnp.minimum(carry["fcnt"], S.NFRAME)
+            aN = jax.lax.dynamic_update_slice(
+                aN, frow[None], (wslot, jnp.int32(0), jnp.int32(0)))
         return dict(carry, aN=aN, head=head_n, sv=sv_n, oa=oa_n, xa=xa_n,
                     nxt=nxt_n,
                     fcnt=carry["fcnt"] + any_pop.astype(jnp.int32),

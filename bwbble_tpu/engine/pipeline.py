@@ -485,8 +485,9 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                     counters[kd] = (counters.get(kd, 0)
                                     + int(np.asarray(res[ks])))
             if "iters" in res:
+                # mesh results broadcast iters per lane; max = wall clock
                 counters["waves"] = (counters.get("waves", 0)
-                                     + int(np.asarray(res["iters"])))
+                                     + int(np.asarray(res["iters"]).max()))
             if "n_work" in res:
                 counters["work_units"] = (counters.get("work_units", 0)
                                           + int(np.asarray(res["n_work"])
@@ -625,12 +626,22 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
     # resident tiers replace most host fallback, and only reads beyond
     # the deepest tier's frame budget go to gold.
     import jax as _jax
-    resident_on = (cfg.backend != "xla"
-                   and mesh is None and precalc is None
+    # dp-only meshes (tp == 1) run the resident kernel PER SHARD inside
+    # shard_map — the search needs no cross-chip communication on the dp
+    # axis (inexact_match.c:92-168), so each chip owns its read slice with
+    # the full single-chip engine.  tp > 1 range-shards the index (rank
+    # queries psum over ICI), which only the XLA body implements.
+    dp_shards = int(mesh.shape["dp"]) if mesh is not None else 1
+    tp_shards = int(mesh.shape["tp"]) if mesh is not None else 1
+    B_shard = B // dp_shards
+    resident_ok = (tp_shards == 1 and precalc is None
                    and str(didx.idt) != "int64"
                    and cfg.xsteps == 1          # mirrors _search's pallas_ok
-                   and _jax.default_backend() == "tpu"
-                   and B % 128 == 0 and B <= 1024)
+                   and B_shard % 128 == 0)
+    resident_on = resident_ok and (
+        cfg.backend == "resident"               # forced (e.g. mesh dryrun)
+        or (cfg.backend != "xla" and _jax.default_backend() == "tpu"
+            and B_shard <= 1024))
     if resident_on:
         # xcap=128: chunked exact completion — covers every interval-list
         # width observed on the chr21 worlds (p99 max ~85, never >256),
@@ -1042,7 +1053,40 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     nc = 11 if params.is_multiref else 4
     root_plen = int(params.precalc_len) if precalc is not None else 0
 
-    # one forward D pass: search bounds + difficulty ordering + escalation
+    # ring-queue resident kernel (same coverage rule as the fixed path):
+    # the whole continuous-batching loop runs inside pallas_call segments,
+    # with the XLA switch_step between segments.  The per-lane pop clock
+    # (engine/inexact.py RING) makes the ring budget per-read exact, so
+    # this is the primary chr21 engine (round 5) — fixed tiers remain for
+    # retries and non-covered configs.
+    import jax as _jax
+    resident_q = (cfg.backend != "xla" and precalc is None
+                  and str(didx.idt) != "int64" and cfg.xsteps == 1
+                  and _jax.default_backend() == "tpu"
+                  and lanes % 128 == 0 and lanes <= 1024)
+    if resident_q:
+        cfg = dataclasses.replace(cfg, backend="resident",
+                                  xcap=128 if params.is_multiref else
+                                  cfg.xcap)
+
+    # overlapped host-gold pool, forked BEFORE the D pass so pre-routed
+    # reads keep the host core busy from the first scanned chunk onward
+    pool: _GoldPool | None = None
+    from bwbble_tpu.native import get_native
+    _natq = get_native()
+    if (params.is_multiref and _natq is not None
+            and getattr(_natq, "_has_gold", False) and NR > lanes):
+        try:
+            pool = _GoldPool(idx, reads, params, precalc,
+                             n_workers=max(1, int(params.n_threads)))
+        except Exception:
+            pool = None
+
+    # one forward D pass: search bounds + difficulty ordering + escalation.
+    # The gold pool idles through the scan ON PURPOSE: this box's one core
+    # runs the native scanner, and overlapping the pool with it was
+    # measured to slow the scan 3.5x (1.4s -> 5.2s) for less offload than
+    # the post-scan route below provides.
     Dr_all, Dsr_all, dov_raw = calc_d_all(
         didx, reads, params, batch=min(lanes, _pow2_at_least(NR)),
         d_cap=d_cap, host_idx=idx)
@@ -1055,174 +1099,204 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     else:
         order = np.arange(NR, dtype=np.int64)
 
-    # overlapped host-gold pool (same auto condition as the fixed path):
-    # failed reads are submitted as soon as each launch collects, so the
-    # single-core gold work hides under the remaining device launches
-    # instead of running as a serial retry pipeline after the queue
-    # drains (measured 10.1 s of un-overlapped tail on the chr21 bench
-    # without this)
-    pool: _GoldPool | None = None
-    from bwbble_tpu.native import get_native
-    _natq = get_native()
-    if (params.is_multiref and _natq is not None
-            and getattr(_natq, "_has_gold", False) and NR > lanes):
-        try:
-            pool = _GoldPool(idx, reads, params, precalc,
-                             n_workers=max(1, int(params.n_threads)))
-        except Exception:
-            pool = None
-    if pool is not None and sort_reads:
-        # pre-route the hardest slice straight to gold NOW: a single big
-        # queued launch only reports its failures when it drains, so the
-        # host pool would otherwise idle through the whole device phase.
-        # ~10% of chr21 reads overflow the ring budget, and the D-based
-        # difficulty proxy concentrates them at the head of the
-        # hardest-first order; 6% keeps the pool busy for about as long
-        # as the launch runs on this box (one core, ~12 ms/hard read)
-        k = int(NR * float(os.environ.get("BWBBLE_QROUTE", "0.06")))
-        if k >= 32:
-            pool.submit([int(i) for i in order[:k]])
-            order = order[k:]
-    NQ = order.size                       # reads the queue itself serves
+    # Routing budget: DERIVED from the <5% fallback target (4.5% leaves
+    # margin), not hand-tuned.  The top-z slice routes to gold in one
+    # shot: the proxy's hardest reads are exactly the ones that would
+    # burn the deepest ring budgets (a top-z read averages tens of
+    # thousands of pops — 4.5% of reads carries ~25% of total device
+    # work), and the ladder resolves everything else on-device, so the
+    # pre-routed slice IS the fallback set.
+    budget = int(0.045 * NR) if (pool is not None and sort_reads) else 0
+    routed = np.zeros(NR, dtype=bool)
+    if budget >= 32:
+        pre = order[:budget]
+        routed[pre] = True
+        pool.submit([int(i) for i in pre])
+    order = order[~(routed[order] | dov_raw[order])]
+    dov_sel = np.flatnonzero(dov_raw & ~routed)
+    if dov_sel.size and pool is not None:
+        pool.submit(dov_sel)
 
     Lmax = max(reads.max_len, 1)
-    rc_all = np.zeros((NQ, Lmax), dtype=np.int8)
-    rc_all[:, :reads.rc.shape[1]] = reads.rc[order]
-    len_all = reads.lengths[order].astype(np.int32)
-
-    seeds_all = None
-    seed_over = np.zeros((NQ,), dtype=bool)
-    if precalc is not None:
-        from bwbble_tpu.align.precalc import read_indices
-        ri = read_indices(rc_all, len_all, k=int(params.precalc_len))
-        sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
-        seeds_all = (sL.astype(np.int32), sU.astype(np.int32), scnt)
-
-    orderj = jnp.asarray(order.astype(np.int32))
-    D_ord = jnp.take(Dr_all, orderj, axis=0)
-    Ds_ord = jnp.take(Dsr_all, orderj, axis=0)
-    dover = dov_raw[order]
-
-    Q = min(NQ, max(1, int(qchunk)) * lanes)
     pathcap = cfg.pathcap or (Lmax + 32)
-    nroot = 1 if seeds_all is None else seeds_all[0].shape[1]
-    # ring-mode iteration budget: each of the <= ceil(Q/lanes) reads a lane
-    # serves can take up to NFRAME iterations; cap at the packed-prev-link
-    # id range (23 bits / NSLOT)
     nslot = 1 + 2 * nc
-    nframe = max((int(cfg.cap) - nroot) // nslot - 1, 2)
-    need = (Q // lanes + 2) * nframe + 4096
     iter_cap = ((1 << 23) - 64) // nslot - 2
-    cfg = dataclasses.replace(
-        cfg, max_iters=min(max(int(cfg.max_iters), need), iter_cap))
     out: list = [None] * NR
-    failed: list[int] = []
     iters_total = 0
     t_search = 0.0
     dma = {"dma_pop_rows": 0, "dma_fat_rows": 0, "dma_wr_rows": 0,
            "work_units": 0}
-    for cs in range(0, NQ, Q):
-        ce = min(cs + Q, NQ)
-        nb = ce - cs
-        if nb < Q:
-            # pad with copies of the chunk's last (easiest) read so every
-            # launch shares one compiled shape; padding rows are ignored
-            pad = np.concatenate([np.arange(cs, ce),
-                                  np.full(Q - nb, ce - 1)]).astype(np.int64)
-        else:
-            pad = np.arange(cs, ce, dtype=np.int64)
-        padj = jnp.asarray(pad.astype(np.int32))
-        kw = {}
-        if seeds_all is not None:
-            kw = dict(seed_L=jnp.asarray(seeds_all[0][pad]),
-                      seed_U=jnp.asarray(seeds_all[1][pad]),
-                      seed_cnt=jnp.asarray(seeds_all[2][pad]))
-        t_sq = _time.time()
-        res = inexact_search_queued(
-            didx, jnp.asarray(rc_all[pad]), jnp.asarray(len_all[pad]),
-            jnp.take(D_ord, padj, axis=0), jnp.take(Ds_ord, padj, axis=0),
-            params, cfg, lanes=lanes, **kw)
-        iters_total += int(np.asarray(res["iters"]))
-        t_search += _time.time() - t_sq
-        for ks, kd in (("dma_pop", "dma_pop_rows"),
-                       ("dma_fat", "dma_fat_rows"),
-                       ("dma_wr", "dma_wr_rows")):
-            if ks in res:
-                dma[kd] += int(np.asarray(res[ks]))
-        if "n_work" in res:
-            dma["work_units"] += int(np.asarray(res["n_work"]).sum())
-        n_alns = np.asarray(res["n_alns"])[:nb]
-        overflow = (np.asarray(res["overflow"])[:nb]
-                    | dover[cs:ce] | seed_over[cs:ce])
-        o = {k: np.asarray(v) for k, v in res.items() if k.startswith("o_")}
+    pass_log: list[dict] = []
 
-        # paths were walked on-device at flush time (ring arena)
-        paths_all = np.asarray(res["paths"])[:nb]
+    def ring_pass(sub: np.ndarray, lanes_p: int, cfg_p: EngineConfig,
+                  qchunk_p: int) -> list[int]:
+        """Stream reads[sub] (absolute ids, hardest-first) through the
+        queued engine at lanes_p lanes; fills `out`, returns the ids that
+        overflowed their per-read ring budget."""
+        nonlocal iters_total, t_search
+        NQ = sub.size
+        rc_s = np.zeros((NQ, Lmax), dtype=np.int8)
+        rc_s[:, :reads.rc.shape[1]] = reads.rc[sub]
+        len_s = reads.lengths[sub].astype(np.int32)
+        seeds_s = None
+        seed_over = np.zeros((NQ,), dtype=bool)
+        if precalc is not None:
+            from bwbble_tpu.align.precalc import read_indices
+            ri = read_indices(rc_s, len_s, k=int(params.precalc_len))
+            sL, sU, scnt, seed_over = precalc.lookup_batch(ri, seed_slots)
+            seeds_s = (sL.astype(np.int32), sU.astype(np.int32), scnt)
+        subj = jnp.asarray(sub.astype(np.int32))
+        D_s = jnp.take(Dr_all, subj, axis=0)
+        Ds_s = jnp.take(Dsr_all, subj, axis=0)
+        nroot = 1 if seeds_s is None else seeds_s[0].shape[1]
+        nframe = max((int(cfg_p.cap) - nroot) // nslot - 1, 2)
+        # per-launch size: qchunk_p*lanes reads, shrunk so the iteration
+        # budget (each of ceil(Q/lanes) reads a lane serves can take up
+        # to NFRAME pops) stays inside the 23-bit packed-prev-link range
+        q_chunks = max(1, min(int(qchunk_p),
+                              (iter_cap - 4096) // nframe - 2))
+        Q = min(_pow2_at_least(NQ, lo=lanes_p), q_chunks * lanes_p)
+        need = (Q // lanes_p + 2) * nframe + 4096
+        cfg_r = dataclasses.replace(
+            cfg_p,
+            max_iters=min(max(int(cfg_p.max_iters), need), iter_cap))
+        t0p = _time.time()
+        failed_p: list[int] = []
 
-        chunk_failed: list[int] = []
-        for r in range(nb):
-            orig = int(order[cs + r])
-            if overflow[r]:
-                chunk_failed.append(orig)
-                continue
-            alns = []
-            for k in range(int(n_alns[r])):
-                out_len = int(o["o_len"][r, k])
-                path = _reconstruct_path(paths_all[r, k],
-                                         int(o["o_plen"][r, k]), out_len,
-                                         root_plen)
-                alns.append(Aln(
-                    score=int(o["o_score"][r, k]), L=int(o["o_L"][r, k]),
-                    U=int(o["o_U"][r, k]), num_mm=int(o["o_mm"][r, k]),
-                    num_gapo=int(o["o_go"][r, k]),
-                    num_gape=int(o["o_ge"][r, k]),
-                    num_snps=int(o["o_snp"][r, k]) & 0xFF,
-                    aln_length=out_len, path=path))
-            out[orig] = alns
-        failed.extend(chunk_failed)
+        def dispatch(cs: int) -> dict:
+            ce = min(cs + Q, NQ)
+            nb = ce - cs
+            if nb < Q:
+                # pad with copies of the chunk's last (easiest) read so
+                # every launch shares one compiled shape; padding rows
+                # are ignored
+                pad = np.concatenate(
+                    [np.arange(cs, ce),
+                     np.full(Q - nb, ce - 1)]).astype(np.int64)
+            else:
+                pad = np.arange(cs, ce, dtype=np.int64)
+            padj = jnp.asarray(pad.astype(np.int32))
+            kw = {}
+            if seeds_s is not None:
+                kw = dict(seed_L=jnp.asarray(seeds_s[0][pad]),
+                          seed_U=jnp.asarray(seeds_s[1][pad]),
+                          seed_cnt=jnp.asarray(seeds_s[2][pad]))
+            res = inexact_search_queued(
+                didx, jnp.asarray(rc_s[pad]), jnp.asarray(len_s[pad]),
+                jnp.take(D_s, padj, axis=0), jnp.take(Ds_s, padj, axis=0),
+                params, cfg_r, lanes=lanes_p, **kw)
+            return dict(cs=cs, nb=nb, res=res)
 
-    n_routed = pool.submitted if pool is not None else 0
-    n_retry = len(failed) + n_routed
-    n_fallback = n_routed
+        def collect_h(h: dict) -> None:
+            nonlocal iters_total, t_search
+            cs, nb, res = h["cs"], h["nb"], h["res"]
+            ce = cs + nb
+            # the first asarray blocks until the launch completes: count
+            # that wait as device-search time, the Python assembly below
+            # (Aln objects, path reconstruction) runs while the NEXT
+            # launch computes on the device
+            t_sq = _time.time()
+            iters_total += int(np.asarray(res["iters"]))
+            t_search += _time.time() - t_sq
+            for ks, kd in (("dma_pop", "dma_pop_rows"),
+                           ("dma_fat", "dma_fat_rows"),
+                           ("dma_wr", "dma_wr_rows")):
+                if ks in res:
+                    dma[kd] += int(np.asarray(res[ks]))
+            if "n_work" in res:
+                dma["work_units"] += int(np.asarray(res["n_work"]).sum())
+            n_alns = np.asarray(res["n_alns"])[:nb]
+            overflow = np.asarray(res["overflow"])[:nb] | seed_over[cs:ce]
+            o = {k: np.asarray(v) for k, v in res.items()
+                 if k.startswith("o_")}
+            # paths were walked on-device at flush time (ring arena)
+            paths_all = np.asarray(res["paths"])[:nb]
+            for r in range(nb):
+                orig = int(sub[cs + r])
+                if overflow[r]:
+                    failed_p.append(orig)
+                    continue
+                alns = []
+                for k in range(int(n_alns[r])):
+                    out_len = int(o["o_len"][r, k])
+                    path = _reconstruct_path(paths_all[r, k],
+                                             int(o["o_plen"][r, k]),
+                                             out_len, root_plen)
+                    alns.append(Aln(
+                        score=int(o["o_score"][r, k]),
+                        L=int(o["o_L"][r, k]), U=int(o["o_U"][r, k]),
+                        num_mm=int(o["o_mm"][r, k]),
+                        num_gapo=int(o["o_go"][r, k]),
+                        num_gape=int(o["o_ge"][r, k]),
+                        num_snps=int(o["o_snp"][r, k]) & 0xFF,
+                        aln_length=out_len, path=path))
+                out[orig] = alns
+
+        # one-launch lookahead: dispatch k+1 (async) before collecting k,
+        # so host-side result assembly overlaps the next launch's device
+        # compute instead of serializing between launches (measured ~8s
+        # of collect on the 8192-read chr21 run)
+        pending: dict | None = None
+        for cs in range(0, NQ, Q):
+            h = dispatch(cs)
+            if pending is not None:
+                collect_h(pending)
+            pending = h
+        if pending is not None:
+            collect_h(pending)
+        pass_log.append(dict(B=lanes_p, cap=int(cfg_p.cap),
+                             reads=int(NQ), failed=len(failed_p),
+                             sec=round(_time.time() - t0p, 2)))
+        return failed_p
+
+    n_retry = 0
     try:
-        if failed:
-            # retry on the fixed deep tier (narrow lanes, 4x the ring's
-            # per-read frame budget): it resolves about half the ring
-            # overflow at device speed, and streams ITS failures to a
-            # gold pool while it runs — the host core is the scarce
-            # resource, so reads only reach it after both engines pass
-            fi = np.array(failed, dtype=np.int64)
-            sub = Reads(names=[reads.names[i] for i in failed],
-                        seq=reads.seq[fi], rc=reads.rc[fi],
-                        qual=[reads.qual[i] for i in failed],
-                        lengths=reads.lengths[fi])
-            sub_stats: dict = {}
-            retry_B = 256
-            cell = max(int(cfg.cap) * lanes, 1 << 25)
-            sub_out = align_reads_device(
-                idx, didx, sub,
-                dataclasses.replace(params, batch_size=retry_B)
-                if len(failed) > retry_B else params,
-                dataclasses.replace(cfg, backend="auto",
-                                    cap=min(cell // retry_B, 4 << 20)),
-                d_cap=d_cap, stats=sub_stats,
-                precalc=precalc, seed_slots=seed_slots, sort_reads=True,
-                queued=False)
-            for i, r in zip(failed, sub_out):
-                out[i] = r
-            n_fallback += sub_stats.get("fallback_reads", 0)
+        # Escalation ladder, all rungs CONTINUOUS-BATCHING: the primary
+        # pass at full lanes, then failures re-queue at narrower lanes
+        # whose per-read ring budget grows at ~constant arena memory
+        # (cap*lanes).  Reads that out-run even the deepest rung go to
+        # the host gold pool, which has been chewing the pre-routed slice
+        # concurrently the whole time.
+        cell = max(int(cfg.cap) * lanes, 1 << 25)
+        failed = ring_pass(order, lanes, cfg, qchunk)
+        for deep_B in (256, 128):
+            if not failed or deep_B >= lanes:
+                continue
+            n_retry += len(failed)
+            deep_cap = min(cell // deep_B, 4 << 20)
+            deep_cfg = dataclasses.replace(
+                cfg, cap=deep_cap, acap=max(cfg.acap, 64),
+                flush=min(int(cfg.flush), deep_B // 2))
+            sub = np.array(sorted(set(failed)), dtype=np.int64)
+            if sort_reads:
+                sub = sub[np.argsort(-z[sub], kind="stable")]
+            failed = ring_pass(sub, deep_B, deep_cfg, qchunk_p=16)
         if pool is not None:
+            if failed:
+                pool.submit(sorted(set(failed)))
+            n_fallback = pool.submitted
             for orig, alns in pool.drain().items():
                 out[orig] = alns
             pool = None
+        else:
+            rest = sorted(set(failed)) + [int(i) for i in dov_sel]
+            n_fallback = len(rest)
+            if rest:
+                for orig, alns in gold_fallback_many(
+                        idx, reads, rest, params, precalc,
+                        int(params.n_threads)).items():
+                    out[orig] = alns
     finally:
         if pool is not None:
             pool.terminate()
     if stats is not None:
-        stats.update(fallback_reads=n_fallback, retried_reads=n_retry,
+        stats.update(fallback_reads=n_fallback,
+                     retried_reads=n_retry,
+                     prerouted=int(routed.sum()),
                      iters=iters_total, waves=iters_total,
                      t_dbounds=round(t_dbounds, 3),
                      t_search=round(t_search, 3),
                      t_host=round(_time.time() - t_start - t_dbounds
-                                  - t_search, 3), **dma)
+                                  - t_search, 3),
+                     tiers=pass_log, **dma)
     return out

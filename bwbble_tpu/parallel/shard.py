@@ -115,9 +115,19 @@ def sharded_inexact_search(mesh: Mesh, didx: DeviceIndex, rc, lengths,
     (rc, lengths, D, D_seed), B = _pad_batch((rc, lengths, D, D_seed), dp)
 
     def body(didx_l, rc_l, len_l, D_l, Ds_l):
-        didx_l = dataclasses.replace(didx_l, tp_axis="tp")
+        # tp == 1: the index is fully replicated per shard, rank queries
+        # are local, and the Pallas backends (incl. the resident kernel)
+        # are eligible — dp sharding needs zero cross-chip communication
+        # during the search (inexact_match.c:92-168's embarrassing
+        # parallelism, mapped to the mesh).  tp > 1 range-shards the index
+        # and routes rank queries through psum, which only the XLA body
+        # implements.
+        didx_l = dataclasses.replace(didx_l,
+                                     tp_axis="tp" if tp > 1 else None)
         out = inexact_search(didx_l, rc_l, len_l, D_l, Ds_l, params, cfg)
         out["iters"] = jnp.broadcast_to(out["iters"], rc_l.shape[:1])
+        for k in ("dma_pop", "dma_fat", "dma_wr"):   # per-shard scalars
+            out.pop(k, None)
         return out
 
     out_specs = dict(
@@ -148,7 +158,8 @@ def sharded_calc_d_chunk(mesh: Mesh, didx: DeviceIndex, seq, lengths,
     seed_len = int(params.seed_length)
 
     def body(didx_l, seq_l, len_l):
-        didx_l = dataclasses.replace(didx_l, tp_axis="tp")
+        didx_l = dataclasses.replace(didx_l,
+                                     tp_axis="tp" if tp > 1 else None)
         if params.is_multiref:
             D, dov1 = calc_d(didx_l, seq_l, len_l, K=K)
         else:
@@ -189,7 +200,8 @@ def sharded_align_step(mesh: Mesh, didx: DeviceIndex, seq, rc, lengths,
     seed_len = int(params.seed_length)
 
     def body(didx_l, seq_l, rc_l, len_l):
-        didx_l = dataclasses.replace(didx_l, tp_axis="tp")
+        didx_l = dataclasses.replace(didx_l,
+                                     tp_axis="tp" if tp > 1 else None)
         if params.is_multiref:
             D, dov1 = calc_d(didx_l, seq_l, len_l, K=d_cap)
         else:
@@ -206,6 +218,8 @@ def sharded_align_step(mesh: Mesh, didx: DeviceIndex, seq, rc, lengths,
         out = inexact_search(didx_l, rc_l, len_l, D, Ds, params, cfg)
         out["overflow"] = out["overflow"] | dov1 | (dov2 & use_seed)
         out["iters"] = jnp.broadcast_to(out["iters"], rc_l.shape[:1])
+        for k in ("dma_pop", "dma_fat", "dma_wr"):   # per-shard scalars
+            out.pop(k, None)
         # resolve ref_pos of the first (best) alignment per read
         rows = jnp.where(out["n_alns"] > 0, out["o_L"][:, 0], 0)
         out["ref_pos"] = jnp.where(out["n_alns"] > 0,

@@ -23,11 +23,12 @@ import os
 import sys
 import time
 
-# the axon TPU plugin registers from sitecustomize and ignores
-# JAX_PLATFORMS; force the CPU backend the same way tests/conftest.py does
-os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
-jax.config.update("jax_platforms", "cpu")
+# int64 index arithmetic end-to-end (reference bwtint_t = uint64,
+# common.h:6); must be set before first JAX use.  Round 5: the device
+# phase runs on the REAL TPU when one is present (--cpu forces the old
+# host-only behavior).
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -88,7 +89,11 @@ def main():
     ap.add_argument("--fwd-mbp", type=int, default=1550)
     ap.add_argument("--dir", default="/tmp/wg")
     ap.add_argument("--reads", type=int, default=12)
+    ap.add_argument("--cpu", action="store_true",
+                    help="skip the TPU device phase (host gold only)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     d = args.dir
     os.makedirs(d, exist_ok=True)
@@ -145,6 +150,54 @@ def main():
     report["t_align_s"] = round(time.time() - t0, 1)
     print(f"gold align {len(positions)} reads: {report['t_align_s']}s",
           flush=True)
+
+    # ---- REAL-CHIP int64 device pass (VERDICT r4 item 4): upload the
+    # >2^31-position index in the int64 device layout (~4.7 GB table +
+    # 0.8 GB SA samples on v5e HBM) and run the device engine on the same
+    # reads; every Aln tuple must equal the host gold result.
+    if not args.cpu and jax.default_backend() == "tpu":
+        from bwbble_tpu.engine.device_index import from_fmindex
+        from bwbble_tpu.engine.inexact import EngineConfig
+        from bwbble_tpu.engine.pipeline import align_reads_device
+
+        t0 = time.time()
+        didx = from_fmindex(idx, use_int64=True)
+        assert str(didx.idt) == "int64", didx.idt
+        jax.block_until_ready(didx.table)
+        report["t_device_upload_s"] = round(time.time() - t0, 1)
+        print(f"device index uploaded (int64 layout, "
+              f"{didx.table.nbytes / 2**30:.2f} GiB table): "
+              f"{report['t_device_upload_s']}s", flush=True)
+        dev_params = AlnParams(max_diff=2,
+                               batch_size=max(16, len(positions)))
+        dev_cfg = EngineConfig(cap=65536, acap=16, kx=2, max_iters=200_000)
+        dstats: dict = {}
+        t0 = time.time()
+        dev_alns = align_reads_device(idx, didx, reads, dev_params,
+                                      dev_cfg, d_cap=16, stats=dstats,
+                                      gold_overlap=False)
+        report["t_device_align_s"] = round(time.time() - t0, 1)
+        report["device_fallback_reads"] = int(dstats.get("fallback_reads",
+                                                         0))
+        mism = 0
+        for g_list, d_list in zip(alns, dev_alns):
+            if len(g_list) != len(d_list):
+                mism += 1
+                continue
+            for g, a in zip(g_list, d_list):
+                if ((g.score, g.L, g.U, g.num_mm, g.num_gapo, g.num_gape,
+                     g.num_snps, g.aln_length, g.path)
+                        != (a.score, a.L, a.U, a.num_mm, a.num_gapo,
+                            a.num_gape, a.num_snps, a.aln_length, a.path)):
+                    mism += 1
+        report["device_parity"] = mism == 0
+        report["device_backend"] = str(jax.default_backend())
+        print(f"device align (int64, {jax.default_backend()}): "
+              f"{report['t_device_align_s']}s, mismatches={mism}, "
+              f"fallback={report['device_fallback_reads']}", flush=True)
+        assert mism == 0, "device int64 alignment diverged from gold"
+    else:
+        report["device_parity"] = None
 
     # resolve hits through the real SAM product path (SA walk + mapq +
     # coordinate projection) and compare reported POS to the plant

@@ -514,6 +514,77 @@ def test_kernel_queued_matches_xla_body(world):
                                       err_msg="resident " + k)
 
 
+def test_kernel_queued_resident_xcap_defer(world):
+    """The production chr21 ring config: resident queued with chunked
+    exact completion (xcap) + deferred DFS-resume.  The xcap path handles
+    completion lists the XLA body's kx slots overflow on, and deferral
+    shifts WHICH wave a lane pops by <= 1 — so per-read results are
+    checked against the GOLD engine (like the fixed-mode xcap test), plus
+    the overflow set must be a subset of the XLA body's."""
+    from bwbble_tpu.align.pipeline import align_read_gold
+    from bwbble_tpu.engine.inexact import inexact_search_queued
+    from bwbble_tpu.engine.pipeline import (_reconstruct_path,
+                                            native_scan_chunks)
+    idx, didx, reads = world
+    params = AlnParams(max_diff=3, batch_size=128)
+    cfg = EngineConfig(cap=4096, acap=24, kx=2, max_iters=20_000,
+                       flush=16, backend="xla")
+    rc = np.tile(np.asarray(reads.rc, dtype=np.int8), (8, 1))
+    lengths = np.tile(reads.lengths.astype(np.int32), 8)
+    # EXACT D bounds (native unbounded-list scanner): the gold comparison
+    # below needs them — a K-clipped device D pass over-prunes on this
+    # dense world and every engine would legitimately diverge from gold
+    Lmax = reads.max_len
+    D1 = np.zeros((reads.count, Lmax + 1, 2), dtype=np.int32)
+    Ds1 = np.zeros((reads.count, int(params.seed_length) + 1, 2),
+                   dtype=np.int32)
+    for gi, Dch, Dsch, _zc in native_scan_chunks(idx, reads, params,
+                                                 reads.count):
+        D1[gi[0]:gi[-1] + 1] = Dch
+        Ds1[gi[0]:gi[-1] + 1] = Dsch
+    D = jnp.asarray(np.tile(D1, (8, 1, 1)))
+    Ds = jnp.asarray(np.tile(Ds1, (8, 1, 1)))
+
+    def run(cfg_):
+        res = inexact_search_queued(
+            didx, jnp.asarray(rc), jnp.asarray(lengths), D, Ds,
+            params, cfg_, lanes=128)
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    ref = run(cfg)
+    PK.INTERPRET = True
+    try:
+        got = run(dataclasses.replace(cfg, backend="resident", xcap=64))
+    finally:
+        PK.INTERPRET = False
+
+    # xcap strictly extends coverage: anything the resident path flags
+    # must also overflow the kx-limited XLA body
+    assert not np.any(got["overflow"] & ~ref["overflow"])
+    n_widened = 0
+    for b in range(reads.count):      # distinct reads (tiles repeat them)
+        if got["overflow"][b]:
+            continue
+        gold = align_read_gold(idx, reads.seq[b], reads.rc[b],
+                               int(reads.lengths[b]), params)
+        if ref["overflow"][b]:
+            n_widened += 1            # read the XLA kx path could not do
+        assert int(got["n_alns"][b]) == len(gold), f"read {b} count"
+        for k, ga in enumerate(gold):
+            assert int(got["o_L"][b, k]) == ga.L, f"read {b} aln {k}"
+            assert int(got["o_U"][b, k]) == ga.U
+            assert int(got["o_score"][b, k]) == ga.score
+            assert int(got["o_mm"][b, k]) == ga.num_mm
+            assert int(got["o_go"][b, k]) == ga.num_gapo
+            assert int(got["o_ge"][b, k]) == ga.num_gape
+            assert int(got["o_len"][b, k]) == ga.aln_length
+            path = _reconstruct_path(got["paths"][b][k],
+                                     int(got["o_plen"][b, k]),
+                                     int(got["o_len"][b, k]), 0)
+            assert path == ga.path, f"read {b} aln {k} path"
+    assert n_widened > 0, "no read exercised the xcap-beyond-kx path"
+
+
 def test_kernel_queued_resident_all_discarded(world):
     """Drain-deadlock regression (ADVICE r3, kernel.py): a segment that
     starts with zero alive lanes but finished-unflushed lanes (here: refill
