@@ -307,7 +307,7 @@ def main():
     # --single and --pre keep fixed batches (the tested artifact paths
     # for -S and the seeded per-iteration kernel).
     queued = not (single or pre)
-    qchunk = 4
+    qchunk = 8       # one launch: hardest-first refill leaves no drain tail
     if not (easy or single or pre):
         idx.bit_planes()   # native gold rank substrate, built once
 

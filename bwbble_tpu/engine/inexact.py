@@ -192,9 +192,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
     # finished lane's pf is frozen.
     RING = QUEUED
     if RING:
-        # prev links pack as (node+1) << 8 in meta2: node ids must fit 23
-        # bits, which bounds total iterations per launch
-        assert NROOT + (int(cfg.max_iters) + 2) * NSLOT < (1 << 23), \
+        # prev links pack as (node+1) << 8 into meta2's upper 24 bits
+        # (the decode masks, so the sign bit is usable): node ids must
+        # fit 24 bits, which bounds per-lane pops per launch
+        assert NROOT + (int(cfg.max_iters) + 2) * NSLOT < (1 << 24), \
             "ring mode: cfg.max_iters too large for packed prev links"
     ROWW = 256 if X64 else 128         # frame-row width (NSLOT*NW+1 padded)
     assert NSLOT * NW + 1 <= ROWW
@@ -658,7 +659,7 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
         eL, eU, m1, m2 = _node_read4(st_, node)
         ei, emm, ego, ege, est, eplen = _unpack1(m1)
         esnp = m2 & 0xFF
-        prev = (m2 >> 8) - 1
+        prev = ((m2 >> 8) & 0xFFFFFF) - 1    # 24-bit link; mask the sign
         escore = bucket
         st_["head"] = jnp.where(
             lanes[:, None] & (col_b == bucket[:, None]), prev[:, None], head_)

@@ -203,10 +203,13 @@ class _Static:
         # wave's exact streams, carried so the exact step reads them
         # instead of re-picking [XCAP, B] planes) + 1 per-lane exact
         # fetch-mask row (bit q = exact stream q's fat row must be DMAd:
-        # live slot AND not a duplicate of an earlier stream's fat row),
-        # sublane-padded
+        # live slot AND not a duplicate of an earlier stream's fat row) +
+        # the fresh-pop forward (1 flag row + the 4 node words of a
+        # next-pop node minted THIS wave — the LIFO-descent common case —
+        # so the resident kernel skips its arena pop DMA), sublane-padded
         self.XMROW = 1 + 4 * self.KX if self.XCAP > 0 else 1 + 2 * self.KX
-        self.NXW = _pad8(self.XMROW + 1)
+        self.FRROW = self.XMROW + 1            # fresh flag; +1..+4 words
+        self.NXW = _pad8(self.FRROW + 5)
 
     def score_of(self, mm, go, ge):
         return mm * self.p_mm + go * self.p_go + ge * self.p_ge
@@ -789,7 +792,7 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     est = (m1 >> _SH_ST) & 0x3
     eplen = (m1 >> _SH_PLEN) & 0x1FF
     esnp = m2 & 0xFF
-    prev = (m2 >> 8) - 1
+    prev = ((m2 >> 8) & 0xFFFFFF) - 1        # 24-bit link; mask the sign
     escore = bucket
     head = jnp.where(lanes & (row_b == bucket), prev, head)
     st["n_open"] = st["n_open"] - lanes.astype(jnp.int32)
@@ -1009,6 +1012,14 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
     occ2 = head >= 0
     bucket2 = jnp.min(jnp.where(occ2, row_b, S.NB), axis=0, keepdims=True)
     node_next = _pick_rows(head, bucket2, S.NB)
+    # fresh-pop forward: the next pop is a node minted THIS wave (LIFO
+    # descent's common case) iff the lane popped and its new head-top id
+    # is in this wave's id window — carry its 4 words so the resident
+    # kernel's DMA stage skips the arena pop row entirely
+    fresh = (lanes & (node_next >= base)).astype(jnp.int32)
+    slot_f = jnp.clip(node_next - base, 0, S.NSLOT - 1)
+    nv = [_pick_rows(jnp.concatenate(fld, axis=0), slot_f, S.NSLOT)
+          for fld in (candL, candU, candM1, candM2)]
     len_m1 = LEN - 1
     xs_live = _iota((S.KX, B0), 0) < jnp.maximum(
         st["x_cnt"] - (st["x_rd"] if xzp is not None else 0), 0)
@@ -1085,14 +1096,14 @@ def _iter_math(S: _Static, fcnt, LEN, carr, rows, node4, rcx_t, dnw_t,
         # feed-forward: block ids for the DMA stage + the slot VALUES for
         # next wave's exact step; xz_dirty gates the plane writeback
         nxt = jnp.concatenate(
-            [node_next, kxL, kxU, qL, qU, xmask,
-             jnp.zeros((S.NXW - 2 - 4 * S.KX, B0), jnp.int32)], axis=0)
+            [node_next, kxL, kxU, qL, qU, xmask, fresh] + nv
+            + [jnp.zeros((S.NXW - S.FRROW - 5, B0), jnp.int32)], axis=0)
         xz_dirty = jnp.any(lanesx) | jnp.any(to_exact)
         return (head, sv_n, oa_n, xa_n, cnd, nxt, (pL0, pU0, pL1, pU1),
                 xz_dirty)
     nxt = jnp.concatenate(
-        [node_next, kxL, kxU, xmask,
-         jnp.zeros((S.NXW - 2 - 2 * S.KX, B0), jnp.int32)], axis=0)
+        [node_next, kxL, kxU, xmask, fresh] + nv
+        + [jnp.zeros((S.NXW - S.FRROW - 5, B0), jnp.int32)], axis=0)
     return head, sv_n, oa_n, xa_n, cnd, nxt
 
 
@@ -1296,7 +1307,8 @@ def _resident_kernel(S: _Static, *refs):
         # 4 = global exact flag, 5 = pop 8-block flags, 6 = exact 8-block
         # flags, 7 = global dfs flag, 8.. = exact fat ids,
         # 8+2KX = total pop issues, 9+2KX = total exact-fat issues
-        popfetch = dfs_need & ~is_root
+        fresh_v = nxt[S.FRROW:S.FRROW + 1]                 # (1, B)
+        popfetch = dfs_need & ~is_root & (fresh_v == 0)
         xmask_v = nxt[S.XMROW:S.XMROW + 1]                 # (1, B)
         fat_x = nxt[1:1 + 2 * S.KX] >> fsh                 # [2KX, B]
         # exact issue totals (count-proportional waits): per-lane guards
@@ -1370,7 +1382,14 @@ def _resident_kernel(S: _Static, *refs):
                                 acc)
             aV.append(acc)
         aV = jnp.concatenate(aV, axis=0)                   # [4, B]
-        node4 = jnp.where(is_root, rtN_ref[:], aV)
+        # fresh-pop nodes come from the forwarded VMEM words.  Root wins
+        # over a (possibly stale) fresh flag: after a switch refill the
+        # lane's nxt rows 1.. still carry the PREVIOUS read's forward,
+        # but its head holds only root ids — fresh and root are disjoint
+        # otherwise (fresh ids are >= base >= NROOT).
+        node4 = jnp.where(is_root, rtN_ref[:],
+                          jnp.where(fresh_v != 0,
+                                    nxt[S.FRROW + 1:S.FRROW + 5], aV))
 
         # ---- 2. DFS rank fat-row fetch (ids need the popped node)
         eL = node4[0:1, :]

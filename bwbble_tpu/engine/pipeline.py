@@ -1042,7 +1042,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     full cfg.cap frame budget from its own start, and parent chains are
     walked at flush time, so one launch can stream arbitrarily many reads.
     qchunk*lanes reads per launch keeps absolute node ids inside the
-    23-bit packed-prev-link range.  Reads that overflow their per-read
+    24-bit packed-prev-link range.  Reads that overflow their per-read
     budget retry through the fixed-batch escalation ladder, and only
     persistent failures reach the host gold engine.
     """
@@ -1063,7 +1063,12 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     resident_q = (cfg.backend != "xla" and precalc is None
                   and str(didx.idt) != "int64" and cfg.xsteps == 1
                   and _jax.default_backend() == "tpu"
-                  and lanes % 128 == 0 and lanes <= 1024)
+                  and lanes % 128 == 0)
+    if resident_q and lanes > 1024:
+        # the resident kernel tops out at 1024 lanes (VMEM working set);
+        # 1024 resident lanes beat wider XLA-glue lane counts — per-wave
+        # cost is DMA-issue-bound, so width past ~1024 buys little
+        lanes = 1024
     if resident_q:
         cfg = dataclasses.replace(cfg, backend="resident",
                                   xcap=128 if params.is_multiref else
@@ -1120,7 +1125,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
     Lmax = max(reads.max_len, 1)
     pathcap = cfg.pathcap or (Lmax + 32)
     nslot = 1 + 2 * nc
-    iter_cap = ((1 << 23) - 64) // nslot - 2
+    iter_cap = ((1 << 24) - 64) // nslot - 2
     out: list = [None] * NR
     iters_total = 0
     t_search = 0.0
@@ -1161,6 +1166,7 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             cfg_p,
             max_iters=min(max(int(cfg_p.max_iters), need), iter_cap))
         t0p = _time.time()
+        it0, wk0 = iters_total, dma["work_units"]
         failed_p: list[int] = []
 
         def dispatch(cs: int) -> dict:
@@ -1246,7 +1252,9 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             collect_h(pending)
         pass_log.append(dict(B=lanes_p, cap=int(cfg_p.cap),
                              reads=int(NQ), failed=len(failed_p),
-                             sec=round(_time.time() - t0p, 2)))
+                             sec=round(_time.time() - t0p, 2),
+                             waves=iters_total - it0,
+                             work=dma["work_units"] - wk0))
         return failed_p
 
     n_retry = 0
