@@ -288,13 +288,16 @@ def main():
                                             engine="device")
             _ph("precalc table ready")
     else:
-        # chr21 multi-genome: median read needs ~8k DFS pops (vs ~100 on
-        # the easy world), so the primary tier runs narrower and deeper
-        # (frame memory = cap x lanes x 512 B ~= 6 GB) with the ladder
-        # escalating to (256, 64)-lane deep tiers; D bounds need K=64
-        # interval slots on IUPAC-dense references
-        params = AlnParams(max_diff=4, batch_size=1024)
-        cfg = EngineConfig(cap=327680, acap=24, kx=2, max_iters=500_000,
+        # chr21 multi-genome: 512 ring lanes at a 28.5K-pop per-read
+        # budget (arena = cap x lanes x 512 B ~= 7.5 GB) measured best
+        # among {128, 256, 512, 1024} lanes — per-lane wave cost grows
+        # superlinearly past ~512 lanes (VMEM pressure) while narrower
+        # single passes lose occupancy to long-tail stragglers.  Failures
+        # escalate through the queued 256/128-lane rungs (57K/114K-pop
+        # budgets at the same arena memory).  D bounds need K=64 interval
+        # slots on IUPAC-dense references.
+        params = AlnParams(max_diff=4, batch_size=512)
+        cfg = EngineConfig(cap=655360, acap=24, kx=2, max_iters=500_000,
                            exit_alive=int(os.environ.get(
                                "BWBBLE_EXIT_ALIVE", "0")))
         d_cap = 64
@@ -307,7 +310,7 @@ def main():
     # --single and --pre keep fixed batches (the tested artifact paths
     # for -S and the seeded per-iteration kernel).
     queued = not (single or pre)
-    qchunk = 8       # one launch: hardest-first refill leaves no drain tail
+    qchunk = 16      # one launch: hardest-first refill leaves no drain tail
     if not (easy or single or pre):
         idx.bit_planes()   # native gold rank substrate, built once
 

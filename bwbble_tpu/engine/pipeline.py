@@ -1194,13 +1194,13 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             return dict(cs=cs, nb=nb, res=res)
 
         def collect_h(h: dict) -> None:
+            """Block on the launch and extract the CHEAP outputs (failed
+            ids, counters); the Python-side Aln assembly is deferred to
+            `pending_assembly` so it can run while the NEXT pass computes
+            on the device."""
             nonlocal iters_total, t_search
             cs, nb, res = h["cs"], h["nb"], h["res"]
             ce = cs + nb
-            # the first asarray blocks until the launch completes: count
-            # that wait as device-search time, the Python assembly below
-            # (Aln objects, path reconstruction) runs while the NEXT
-            # launch computes on the device
             t_sq = _time.time()
             iters_total += int(np.asarray(res["iters"]))
             t_search += _time.time() - t_sq
@@ -1211,16 +1211,50 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                     dma[kd] += int(np.asarray(res[ks]))
             if "n_work" in res:
                 dma["work_units"] += int(np.asarray(res["n_work"]).sum())
-            n_alns = np.asarray(res["n_alns"])[:nb]
             overflow = np.asarray(res["overflow"])[:nb] | seed_over[cs:ce]
+            for r in np.flatnonzero(overflow):
+                failed_p.append(int(sub[cs + r]))
+            pending_assembly.append(dict(sub=sub, cs=cs, nb=nb, res=res,
+                                         overflow=overflow))
+
+        # one-launch lookahead: dispatch k+1 (async) before collecting k,
+        # so per-launch host work overlaps the next launch's device
+        # compute instead of serializing between launches
+        pending: dict | None = None
+        for cs in range(0, NQ, Q):
+            h = dispatch(cs)
+            # earlier passes' deferred Aln assembly runs here, hidden
+            # under the launch just dispatched
+            drain_assembly()
+            if pending is not None:
+                collect_h(pending)
+            pending = h
+        if pending is not None:
+            collect_h(pending)
+        pass_log.append(dict(B=lanes_p, cap=int(cfg_p.cap),
+                             reads=int(NQ), failed=len(failed_p),
+                             sec=round(_time.time() - t0p, 2),
+                             waves=iters_total - it0,
+                             work=dma["work_units"] - wk0))
+        return failed_p
+
+    pending_assembly: list[dict] = []
+
+    def drain_assembly() -> None:
+        """Build the Aln lists of every collected launch (Python-side;
+        runs while a later pass occupies the device)."""
+        while pending_assembly:
+            h = pending_assembly.pop(0)
+            sub_h, cs, nb = h["sub"], h["cs"], h["nb"]
+            res, overflow = h["res"], h["overflow"]
+            n_alns = np.asarray(res["n_alns"])[:nb]
             o = {k: np.asarray(v) for k, v in res.items()
                  if k.startswith("o_")}
             # paths were walked on-device at flush time (ring arena)
             paths_all = np.asarray(res["paths"])[:nb]
             for r in range(nb):
-                orig = int(sub[cs + r])
+                orig = int(sub_h[cs + r])
                 if overflow[r]:
-                    failed_p.append(orig)
                     continue
                 alns = []
                 for k in range(int(n_alns[r])):
@@ -1238,25 +1272,6 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
                         aln_length=out_len, path=path))
                 out[orig] = alns
 
-        # one-launch lookahead: dispatch k+1 (async) before collecting k,
-        # so host-side result assembly overlaps the next launch's device
-        # compute instead of serializing between launches (measured ~8s
-        # of collect on the 8192-read chr21 run)
-        pending: dict | None = None
-        for cs in range(0, NQ, Q):
-            h = dispatch(cs)
-            if pending is not None:
-                collect_h(pending)
-            pending = h
-        if pending is not None:
-            collect_h(pending)
-        pass_log.append(dict(B=lanes_p, cap=int(cfg_p.cap),
-                             reads=int(NQ), failed=len(failed_p),
-                             sec=round(_time.time() - t0p, 2),
-                             waves=iters_total - it0,
-                             work=dma["work_units"] - wk0))
-        return failed_p
-
     n_retry = 0
     try:
         # Escalation ladder, all rungs CONTINUOUS-BATCHING: the primary
@@ -1267,7 +1282,12 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
         # concurrently the whole time.
         cell = max(int(cfg.cap) * lanes, 1 << 25)
         failed = ring_pass(order, lanes, cfg, qchunk)
-        for deep_B in (256, 128):
+        # one deep rung at the maximum per-read budget the arena allows
+        # (cell/128 rows): an intermediate 256-lane/half-budget rung was
+        # measured to fail on 72% of the primary's failures on the chr21
+        # world — its whole budget re-paid at the deeper rung — so the
+        # ladder goes straight to the deepest budget
+        for deep_B in (128,):
             if not failed or deep_B >= lanes:
                 continue
             n_retry += len(failed)
@@ -1279,9 +1299,10 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
             if sort_reads:
                 sub = sub[np.argsort(-z[sub], kind="stable")]
             failed = ring_pass(sub, deep_B, deep_cfg, qchunk_p=16)
+        if pool is not None and failed:
+            pool.submit(sorted(set(failed)))
+        drain_assembly()
         if pool is not None:
-            if failed:
-                pool.submit(sorted(set(failed)))
             n_fallback = pool.submitted
             for orig, alns in pool.drain().items():
                 out[orig] = alns
