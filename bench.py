@@ -277,6 +277,11 @@ def main():
     _ph("device index uploaded")
     precalc = None
     if easy or single or pre:
+        # easy-world configs run FIXED 8192-lane batches on the
+        # per-iteration kernel: per-read work is tiny (~300 units), so
+        # per-launch host overhead dominates the queued engine here
+        # (measured 7766 vs 1935 r/s for -S), while chr21's heavy reads
+        # amortize it and win with the queued resident engine.
         params = AlnParams(max_diff=4, batch_size=8192,
                            is_multiref=not single, use_precalc=pre)
         cfg = EngineConfig(cap=32768, acap=24, kx=2, max_iters=500_000)
@@ -307,10 +312,12 @@ def main():
     # per-read exact (exact-completion waves no longer age a read out),
     # which removed the failure mode that made ring mode lose to fixed
     # difficulty-sorted batches on exact-heavy worlds in rounds 3-4.
-    # --single and --pre keep fixed batches (the tested artifact paths
-    # for -S and the seeded per-iteration kernel).
-    queued = not (single or pre)
-    qchunk = 16      # one launch: hardest-first refill leaves no drain tail
+    # chr21 runs the ring-queue resident engine as ONE launch
+    # (hardest-first refill absorbs the drain tail, and the deep rung
+    # hides the primary's Aln assembly); the easy-world configs run
+    # fixed batches (see above).
+    queued = not (easy or single or pre)
+    qchunk = 16
     if not (easy or single or pre):
         idx.bit_planes()   # native gold rank substrate, built once
 

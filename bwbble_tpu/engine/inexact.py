@@ -983,8 +983,10 @@ def _search(didx: DeviceIndex, rc_all, lengths_all, D_all, Ds_all,
             dma_wr=st.get("dma_wr", jnp.int32(0)),
             n_work=st.get("n_work", jnp.zeros((B,), jnp.int32)),
             # reverse-order state walks, filled at flush time (the ring
-            # arena reuses frame rows, so no post-loop walk is possible)
-            paths=st["q_paths"],
+            # arena reuses frame rows, so no post-loop walk is possible).
+            # 2-bit packed (states are M/I/D) — paths dominate the
+            # device->host result volume; see unpack_paths
+            paths=pack_paths(st["q_paths"]),
         )
 
     m1o = st["o_m1"]
@@ -1054,6 +1056,31 @@ def slot_states(nc: int) -> np.ndarray:
     """State appended by each candidate slot: [I, D*nc, M*nc]."""
     return np.array([C.STATE_I] + [C.STATE_D] * nc + [C.STATE_M] * nc,
                     dtype=np.int8)
+
+
+def pack_paths(paths: jax.Array) -> jax.Array:
+    """[..., PC] int8 state walks (values 0..3) -> [..., ceil(PC/4)]
+    uint8, 2 bits per state.  Queue-mode paths dominate the
+    device->host result volume (NR x ACAP x PATHCAP bytes), so they
+    ship packed and `unpack_paths` restores them host-side."""
+    pc = paths.shape[-1]
+    pad = (-pc) % 4
+    if pad:
+        paths = jnp.pad(paths, [(0, 0)] * (paths.ndim - 1) + [(0, pad)])
+    g = paths.reshape(paths.shape[:-1] + ((pc + pad) // 4, 4))
+    g = g.astype(jnp.int32)
+    packed = (g[..., 0] | (g[..., 1] << 2) | (g[..., 2] << 4)
+              | (g[..., 3] << 6))
+    return packed.astype(jnp.uint8)
+
+
+def unpack_paths(packed: np.ndarray, pathcap: int) -> np.ndarray:
+    """Host-side inverse of pack_paths (vectorized numpy)."""
+    out = np.zeros(packed.shape[:-1] + (packed.shape[-1] * 4,),
+                   dtype=np.int8)
+    for i in range(4):
+        out[..., i::4] = (packed >> (2 * i)) & 3
+    return out[..., :pathcap]
 
 
 @partial(jax.jit, static_argnames=("nroot", "nslot", "nc", "pathcap", "nw"))

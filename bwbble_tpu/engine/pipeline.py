@@ -39,7 +39,8 @@ from bwbble_tpu.align.pipeline import align_read_gold
 from bwbble_tpu.engine.device_index import DeviceIndex
 from bwbble_tpu.engine.dbound import calc_d, calc_d_1to1
 from bwbble_tpu.engine.inexact import (EngineConfig, inexact_search,
-                                       inexact_search_queued, walk_paths)
+                                       inexact_search_queued, unpack_paths,
+                                       walk_paths)
 from bwbble_tpu.formats.fastq import Reads
 from bwbble_tpu.gold.engine import Aln
 from bwbble_tpu.index.fmindex import FMIndex
@@ -652,14 +653,17 @@ def align_reads_device(idx: FMIndex, didx: DeviceIndex, reads: Reads,
                                   xcap=128 if params.is_multiref else 0)
 
     # Pre-route the per-chunk hardest quantile straight to gold as each D
-    # chunk lands (keeps the host pool busy during the D phase).  With the
-    # resident kernel the device runs ~13M pops/s vs ~1.1M for one host
-    # core, so the host's economic share is small; without it the round-2
-    # balance (3/8) applies.
+    # chunk lands (keeps the host pool busy during the D phase).  With a
+    # Pallas loop body (resident or per-iteration) the device owns the
+    # work and the host's economic share is small; the 3/8 split applies
+    # only to the pure-XLA body (non-TPU / non-128-multiple configs).
+    pallas_body = (cfg.backend != "xla"
+                   and str(didx.idt) != "int64" and cfg.xsteps == 1
+                   and _jax.default_backend() == "tpu" and B % 128 == 0)
     routed = np.zeros(reads.count, dtype=bool)
     route_frac = 0.0
     if pool is not None and sort_reads:
-        route_frac = 0.025 if resident_on else 0.375
+        route_frac = 0.025 if (resident_on or pallas_body) else 0.375
 
     def _route_chunk(gi: np.ndarray, zc: np.ndarray):
         k = int(gi.size * route_frac)
@@ -1242,35 +1246,45 @@ def _align_queued(idx, didx, reads: Reads, params: AlnParams,
 
     def drain_assembly() -> None:
         """Build the Aln lists of every collected launch (Python-side;
-        runs while a later pass occupies the device)."""
+        runs while a later pass occupies the device).  Bulk .tolist()
+        first: Python-int indexing is ~10x cheaper than per-element
+        numpy scalar fetches, and this loop was the bench's largest
+        un-hidden host cost (16K reads ~ seconds)."""
         while pending_assembly:
             h = pending_assembly.pop(0)
             sub_h, cs, nb = h["sub"], h["cs"], h["nb"]
             res, overflow = h["res"], h["overflow"]
-            n_alns = np.asarray(res["n_alns"])[:nb]
-            o = {k: np.asarray(v) for k, v in res.items()
-                 if k.startswith("o_")}
-            # paths were walked on-device at flush time (ring arena)
-            paths_all = np.asarray(res["paths"])[:nb]
+            n_alns = np.asarray(res["n_alns"])[:nb].tolist()
+            oL = np.asarray(res["o_L"])[:nb].tolist()
+            oU = np.asarray(res["o_U"])[:nb].tolist()
+            oSc = np.asarray(res["o_score"])[:nb].tolist()
+            oLen = np.asarray(res["o_len"])[:nb].tolist()
+            oMM = np.asarray(res["o_mm"])[:nb].tolist()
+            oGO = np.asarray(res["o_go"])[:nb].tolist()
+            oGE = np.asarray(res["o_ge"])[:nb].tolist()
+            oSnp = np.asarray(res["o_snp"])[:nb].tolist()
+            oPl = np.asarray(res["o_plen"])[:nb].tolist()
+            # paths were walked on-device at flush time (ring arena) and
+            # ship 2-bit packed (4x less device->host traffic)
+            paths_all = unpack_paths(np.asarray(res["paths"])[:nb],
+                                     pathcap)
+            sub_l = sub_h[cs:cs + nb].tolist()
+            ov_l = overflow.tolist()
             for r in range(nb):
-                orig = int(sub_h[cs + r])
-                if overflow[r]:
+                if ov_l[r]:
                     continue
                 alns = []
-                for k in range(int(n_alns[r])):
-                    out_len = int(o["o_len"][r, k])
+                for k in range(n_alns[r]):
+                    out_len = oLen[r][k]
                     path = _reconstruct_path(paths_all[r, k],
-                                             int(o["o_plen"][r, k]),
-                                             out_len, root_plen)
+                                             oPl[r][k], out_len,
+                                             root_plen)
                     alns.append(Aln(
-                        score=int(o["o_score"][r, k]),
-                        L=int(o["o_L"][r, k]), U=int(o["o_U"][r, k]),
-                        num_mm=int(o["o_mm"][r, k]),
-                        num_gapo=int(o["o_go"][r, k]),
-                        num_gape=int(o["o_ge"][r, k]),
-                        num_snps=int(o["o_snp"][r, k]) & 0xFF,
+                        score=oSc[r][k], L=oL[r][k], U=oU[r][k],
+                        num_mm=oMM[r][k], num_gapo=oGO[r][k],
+                        num_gape=oGE[r][k], num_snps=oSnp[r][k] & 0xFF,
                         aln_length=out_len, path=path))
-                out[orig] = alns
+                out[sub_l[r]] = alns
 
     n_retry = 0
     try:

@@ -561,6 +561,8 @@ def test_kernel_queued_resident_xcap_defer(world):
     # xcap strictly extends coverage: anything the resident path flags
     # must also overflow the kx-limited XLA body
     assert not np.any(got["overflow"] & ~ref["overflow"])
+    from bwbble_tpu.engine.inexact import unpack_paths
+    up_paths = unpack_paths(got["paths"], Lmax + 32)
     n_widened = 0
     for b in range(reads.count):      # distinct reads (tiles repeat them)
         if got["overflow"][b]:
@@ -578,7 +580,7 @@ def test_kernel_queued_resident_xcap_defer(world):
             assert int(got["o_go"][b, k]) == ga.num_gapo
             assert int(got["o_ge"][b, k]) == ga.num_gape
             assert int(got["o_len"][b, k]) == ga.aln_length
-            path = _reconstruct_path(got["paths"][b][k],
+            path = _reconstruct_path(up_paths[b][k],
                                      int(got["o_plen"][b, k]),
                                      int(got["o_len"][b, k]), 0)
             assert path == ga.path, f"read {b} aln {k} path"
