@@ -302,9 +302,7 @@ def main():
         # budgets at the same arena memory).  D bounds need K=64 interval
         # slots on IUPAC-dense references.
         params = AlnParams(max_diff=4, batch_size=512)
-        cfg = EngineConfig(cap=655360, acap=24, kx=2, max_iters=500_000,
-                           exit_alive=int(os.environ.get(
-                               "BWBBLE_EXIT_ALIVE", "0")))
+        cfg = EngineConfig(cap=655360, acap=24, kx=2, max_iters=500_000)
         d_cap = 64
 
     # Continuous batching (ring-queue resident kernel) everywhere except
